@@ -1,0 +1,539 @@
+"""Pure-Python GeoJSON codec: parse ↔ columnar geometry encoding ↔ serialize.
+
+This is the fidelity core of the engine. It re-implements — from the RFC 7946
+spec and the *behavior* of the reference (georust/geojson v1.0.0), not its
+code — the parse/validate/serialize semantics documented in SURVEY.md §2:
+
+- top-level dispatch on ``type`` (reference: src/geojson.rs:320-362)
+- single-pass dimension-inferring coordinate parse (src/geometry.rs:362-486)
+- the type × dimension validation table (src/geometry.rs:505-621), including
+  every empty-coordinates special case and error variant
+- feature id string|number union (src/feature.rs:244-249), ``id: null`` → None
+- foreign-member capture on all three envelope levels, with empty-map
+  normalization (src/util.rs:18-24)
+- serialization key order and skip-if-none rules (src/feature.rs:63-96,
+  src/geometry.rs:240-260, src/feature_collection.rs:87-104): ``properties``
+  and ``geometry`` are always emitted on Features (null when absent), bbox /
+  id / foreign members are skipped when absent; Geometry emits bbox *before*
+  the flattened type tag, exactly like the serde field order.
+
+The columnar geometry encoding is Arrow-friendly (flat float64 coords +
+two offset arrays) so Spark-side operators work on NumPy buffers:
+
+    geom_type     str   Point|MultiPoint|LineString|MultiLineString|
+                        Polygon|MultiPolygon|GeometryCollection
+    coords        list[float]  interleaved positions (x,y[,z,...])
+    ring_offsets  list[int]    R+1 position-index boundaries (len>=1)
+    part_offsets  list[int]    P+1 ring-index boundaries    (len>=1)
+    dim           int          floats per position; -1 = ragged fallback
+                               (mixed per-position dims: raw JSON kept)
+    geoms_json    str|None     GeometryCollection: canonical JSON array of
+                               child geometries; dim=-1: raw coordinates JSON
+    bbox          list[float]|None
+    foreign_members str|None   JSON object text
+
+Shape conventions (uniform across types so one serializer handles all):
+    Point          P=1 R=1 N=1
+    MultiPoint     P=1 R=1 N=n          (empty: R offsets [0,0])
+    LineString     P=1 R=1 N=n
+    MultiLineString P=m, one ring per part (empty: [0] / [0])
+    Polygon        P=1 R=r              (empty coords []: part_offsets [0,0])
+    MultiPolygon   P=p                  (empty: [0] / [0])
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Any
+
+from geojson_spark.errors import (
+    ExpectedType,
+    GeometryCollectionWithoutGeometriesKey,
+    GeometryWithoutCoordinatesKey,
+    InvalidFeatureId,
+    InvalidGeometryDimensions,
+    MalformedGeoJson,
+    PositionTooShort,
+)
+
+GEOMETRY_TYPES = (
+    "Point",
+    "MultiPoint",
+    "LineString",
+    "MultiLineString",
+    "Polygon",
+    "MultiPolygon",
+    "GeometryCollection",
+)
+# Reserved envelope keys; everything else is a foreign member
+# (reference: src/lib.rs:264-266).
+RESERVED_KEYS = frozenset(
+    {"type", "coordinates", "geometries", "bbox", "features", "id", "geometry", "properties"}
+)
+
+_NUM = (int, float)
+
+
+def _is_num(v: Any) -> bool:
+    return isinstance(v, _NUM) and not isinstance(v, bool)
+
+
+# ---------------------------------------------------------------------------
+# coordinate analysis (single pass, reference src/geometry.rs:387-477)
+# ---------------------------------------------------------------------------
+
+
+def _coords_depth(c: Any) -> int:
+    """Nesting depth of a coordinates value.
+
+    0 = position (non-empty list of numbers), 1..3 = nested lists; ``[]`` is
+    depth 1 (OneDimensional empty, geometry.rs:449-452). Depth > 3 and
+    non-list leaves raise, with messages matching the reference's serde
+    errors.
+    """
+    if not isinstance(c, list):
+        raise MalformedGeoJson(f"expected array, got {_json_type_name(c)}")
+    depth = 0
+    cur = c
+    while True:
+        if len(cur) == 0:
+            return max(depth, 1)
+        head = cur[0]
+        if _is_num(head):
+            if depth == 0:
+                # validate this really is a flat position
+                if not all(_is_num(v) for v in cur):
+                    raise MalformedGeoJson("invalid position: mixed element types")
+            return depth
+        if isinstance(head, list):
+            depth += 1
+            if depth > 3:
+                raise MalformedGeoJson("coordinate nesting too deep")
+            cur = head
+            continue
+        raise MalformedGeoJson(f"expected array, got {_json_type_name(head)}")
+
+
+def _json_type_name(v: Any) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, _NUM):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    return "object"
+
+
+def _validate_position(pos: Any) -> list[float]:
+    if not isinstance(pos, list):
+        raise MalformedGeoJson(f"expected array, got {_json_type_name(pos)}")
+    out = []
+    for v in pos:
+        if not _is_num(v):
+            raise MalformedGeoJson(f"expected number, got {_json_type_name(v)}")
+        out.append(float(v))
+    return out
+
+
+def _flatten_rings(
+    rings: list[list[Any]],
+) -> tuple[list[float], list[int], int, bool]:
+    """Flatten a list of rings (each a list of positions).
+
+    Returns (coords, ring_offsets_tail, dim, uniform). ``uniform`` False means
+    mixed per-position dimensionality → caller falls back to raw JSON.
+    """
+    coords: list[float] = []
+    offsets: list[int] = []
+    dim = 0
+    uniform = True
+    n = 0
+    for ring in rings:
+        if not isinstance(ring, list):
+            raise MalformedGeoJson(f"expected array, got {_json_type_name(ring)}")
+        for pos in ring:
+            p = _validate_position(pos)
+            if dim == 0:
+                dim = len(p)
+            elif len(p) != dim:
+                uniform = False
+            coords.extend(p)
+            n += 1
+        offsets.append(n)
+    return coords, offsets, (dim if dim else 2), uniform
+
+
+def _raw_fallback(geom_type: str, coordinates: Any, bbox, fm) -> dict:
+    """Ragged (mixed-dim) coordinates: keep validated raw JSON, dim=-1."""
+    return {
+        "geom_type": geom_type,
+        "coords": [],
+        "ring_offsets": [0],
+        "part_offsets": [0],
+        "dim": -1,
+        "geoms_json": dumps_json(_floatify(coordinates)),
+        "bbox": bbox,
+        "foreign_members": fm,
+    }
+
+
+def _floatify(c: Any) -> Any:
+    if isinstance(c, list):
+        return [_floatify(v) for v in c]
+    return float(c)
+
+
+# ---------------------------------------------------------------------------
+# parse
+# ---------------------------------------------------------------------------
+
+
+def parse_geometry_obj(obj: Any) -> dict:
+    """Parse + validate one geometry JSON object → columnar geometry dict.
+
+    Implements the full validation table of reference src/geometry.rs:505-621.
+    """
+    if not isinstance(obj, dict):
+        raise MalformedGeoJson(f"expected Geometry object, got {_json_type_name(obj)}")
+    gtype = obj.get("type")
+    if gtype not in GEOMETRY_TYPES:
+        if gtype is None:
+            raise MalformedGeoJson("missing field `type`")
+        raise MalformedGeoJson(f"unknown geometry type `{gtype}`")
+
+    bbox = _parse_bbox(obj.get("bbox"))
+    fm = _foreign_members(obj)
+
+    if gtype == "GeometryCollection":
+        if "geometries" not in obj:
+            raise GeometryCollectionWithoutGeometriesKey()
+        geoms = obj["geometries"]
+        if not isinstance(geoms, list):
+            raise MalformedGeoJson(f"expected array, got {_json_type_name(geoms)}")
+        children = [parse_geometry_obj(g) for g in geoms]
+        geoms_json = "[" + ",".join(serialize_geometry(c) for c in children) + "]"
+        return {
+            "geom_type": gtype,
+            "coords": [],
+            "ring_offsets": [0],
+            "part_offsets": [0],
+            "dim": 0,
+            "geoms_json": geoms_json,
+            "bbox": bbox,
+            "foreign_members": fm,
+        }
+
+    if "coordinates" not in obj:
+        raise GeometryWithoutCoordinatesKey(gtype)
+    c = obj["coordinates"]
+    depth = _coords_depth(c)
+    empty = isinstance(c, list) and len(c) == 0
+
+    def build(coords, ring_offsets, part_offsets, dim, raw=None):
+        return {
+            "geom_type": gtype,
+            "coords": coords,
+            "ring_offsets": ring_offsets,
+            "part_offsets": part_offsets,
+            "dim": dim,
+            "geoms_json": raw,
+            "bbox": bbox,
+            "foreign_members": fm,
+        }
+
+    if gtype == "Point":
+        if empty:
+            raise PositionTooShort(0)
+        if depth != 0:
+            raise InvalidGeometryDimensions(gtype, depth)
+        p = _validate_position(c)
+        if len(p) < 2:
+            raise PositionTooShort(len(p))
+        return build(p, [0, 1], [0, 1], len(p))
+
+    if gtype in ("MultiPoint", "LineString"):
+        if depth != 1:
+            raise InvalidGeometryDimensions(gtype, depth)
+        coords, tail, dim, uniform = _flatten_rings([c])
+        if not uniform:
+            return _raw_fallback(gtype, c, bbox, fm)
+        return build(coords, [0] + tail, [0, 1], dim)
+
+    if gtype in ("Polygon", "MultiLineString"):
+        if empty:
+            # Polygon/MultiLineString with coordinates: [] (geometry.rs:537-544,560-566)
+            if gtype == "Polygon":
+                return build([], [0], [0, 0], 2)
+            return build([], [0], [0], 2)
+        if depth != 2:
+            raise InvalidGeometryDimensions(gtype, depth)
+        coords, tail, dim, uniform = _flatten_rings(c)
+        if not uniform:
+            return _raw_fallback(gtype, c, bbox, fm)
+        ring_offsets = [0] + tail
+        if gtype == "Polygon":
+            return build(coords, ring_offsets, [0, len(c)], dim)
+        return build(coords, ring_offsets, list(range(len(c) + 1)), dim)
+
+    # MultiPolygon
+    if empty:
+        return build([], [0], [0], 2)
+    if depth != 3:
+        raise InvalidGeometryDimensions(gtype, depth)
+    coords: list[float] = []
+    ring_offsets = [0]
+    part_offsets = [0]
+    dim = 0
+    uniform = True
+    n = 0
+    for poly in c:
+        if not isinstance(poly, list):
+            raise MalformedGeoJson(f"expected array, got {_json_type_name(poly)}")
+        sub, tail, d, u = _flatten_rings(poly)
+        if dim == 0:
+            dim = d
+        elif sub and d != dim:
+            uniform = False
+        uniform = uniform and u
+        coords.extend(sub)
+        for t in tail:
+            ring_offsets.append(n + t)
+        n += tail[-1] if tail else 0
+        part_offsets.append(len(ring_offsets) - 1)
+    if not uniform:
+        return _raw_fallback("MultiPolygon", c, bbox, fm)
+    return build(coords, ring_offsets, part_offsets, dim if dim else 2)
+
+
+def _parse_bbox(b: Any) -> list[float] | None:
+    if b is None:
+        return None
+    if not isinstance(b, list) or not all(_is_num(v) for v in b):
+        raise MalformedGeoJson("bbox must be an array of numbers")
+    return [float(v) for v in b]
+
+
+def _foreign_members(obj: dict) -> str | None:
+    """Capture non-reserved keys; empty map → None (util.rs:18-24)."""
+    fm = {k: v for k, v in obj.items() if k not in RESERVED_KEYS}
+    if not fm:
+        return None
+    return dumps_json(fm)
+
+
+def parse_feature_obj(obj: Any) -> dict:
+    """Parse one Feature object (reference src/feature.rs:98-138)."""
+    if not isinstance(obj, dict):
+        raise MalformedGeoJson(f"expected Feature object, got {_json_type_name(obj)}")
+    if obj.get("type") != "Feature":
+        raise ExpectedType("Feature", str(obj.get("type")))
+
+    g = obj.get("geometry")
+    if g is None:
+        geometry = None
+    elif isinstance(g, dict):
+        geometry = parse_geometry_obj(g)
+    else:
+        raise MalformedGeoJson(f"expected Geometry object, got {_json_type_name(g)}")
+
+    raw_id = obj.get("id")
+    if raw_id is None:
+        id_json = None
+    elif isinstance(raw_id, str):
+        id_json = dumps_json(raw_id)
+    elif _is_num(raw_id):
+        id_json = dumps_json(raw_id)
+    else:
+        raise InvalidFeatureId()
+
+    props = obj.get("properties")
+    if props is None:
+        properties = None
+    elif isinstance(props, dict):
+        properties = dumps_json(props)
+    else:
+        raise MalformedGeoJson(f"expected properties object, got {_json_type_name(props)}")
+
+    return {
+        "geometry": geometry,
+        "bbox": _parse_bbox(obj.get("bbox")),
+        "id_json": id_json,
+        "properties": properties,
+        "foreign_members": _foreign_members(obj),
+    }
+
+
+def parse_feature_collection_obj(obj: Any) -> dict:
+    if not isinstance(obj, dict):
+        raise MalformedGeoJson("expected FeatureCollection object")
+    if obj.get("type") != "FeatureCollection":
+        raise ExpectedType("FeatureCollection", str(obj.get("type")))
+    if "features" not in obj:
+        # reference: missing_field("features"), src/geojson.rs:327-337
+        raise MalformedGeoJson("missing field `features`")
+    feats = obj["features"]
+    if not isinstance(feats, list):
+        raise MalformedGeoJson(f"expected array, got {_json_type_name(feats)}")
+    return {
+        "features": [parse_feature_obj(f) for f in feats],
+        "bbox": _parse_bbox(obj.get("bbox")),
+        "foreign_members": _foreign_members(obj),
+    }
+
+
+def parse_geojson(s: str) -> tuple[str, dict]:
+    """Whole-document parse + dispatch on ``type``.
+
+    Reference: src/geojson.rs:215-221 (from_str) + 320-362 (dispatch).
+    Returns ("Geometry"|"Feature"|"FeatureCollection", parsed-dict).
+    """
+    try:
+        obj = json.loads(s)
+    except (ValueError, TypeError) as e:  # json.JSONDecodeError subclasses ValueError
+        raise MalformedGeoJson(str(e)) from e
+    return parse_geojson_value(obj)
+
+
+def parse_geojson_value(obj: Any) -> tuple[str, dict]:
+    if not isinstance(obj, dict):
+        raise MalformedGeoJson(
+            f"invalid type: {_json_type_name(obj)}, expected a GeoJSON object"
+        )
+    t = obj.get("type")
+    if t == "FeatureCollection":
+        return "FeatureCollection", parse_feature_collection_obj(obj)
+    if t == "Feature":
+        return "Feature", parse_feature_obj(obj)
+    if t in GEOMETRY_TYPES:
+        return "Geometry", parse_geometry_obj(obj)
+    if t is None:
+        raise MalformedGeoJson("missing field `type`")
+    raise MalformedGeoJson(f"unknown GeoJSON type `{t}`")
+
+
+# ---------------------------------------------------------------------------
+# serialize
+# ---------------------------------------------------------------------------
+
+
+def dumps_json(v: Any) -> str:
+    """Compact JSON with shortest-round-trip float repr (≈ serde_json)."""
+    return json.dumps(v, separators=(",", ":"), ensure_ascii=False, allow_nan=False)
+
+
+def _fmt_f(v: float) -> str:
+    if v != v or math.isinf(v):
+        raise MalformedGeoJson("non-finite coordinate")
+    return repr(float(v))
+
+
+def _positions_text(coords: list[float], dim: int, start: int, stop: int) -> str:
+    """Render positions [start, stop) as '[x,y],[x,y]' text."""
+    parts = []
+    for i in range(start, stop):
+        base = i * dim
+        parts.append("[" + ",".join(_fmt_f(coords[base + k]) for k in range(dim)) + "]")
+    return ",".join(parts)
+
+
+def serialize_coordinates(g: dict) -> str:
+    gtype = g["geom_type"]
+    dim = g["dim"]
+    if dim == -1:  # ragged fallback — validated raw JSON kept verbatim
+        return g["geoms_json"]
+    coords = g["coords"]
+    ring_offsets = g["ring_offsets"]
+    part_offsets = g["part_offsets"]
+
+    if gtype == "Point":
+        return "[" + ",".join(_fmt_f(coords[k]) for k in range(dim)) + "]"
+    if gtype in ("MultiPoint", "LineString"):
+        stop = ring_offsets[1] if len(ring_offsets) > 1 else 0
+        return "[" + _positions_text(coords, dim, 0, stop) + "]"
+
+    def ring_text(r: int) -> str:
+        return "[" + _positions_text(coords, dim, ring_offsets[r], ring_offsets[r + 1]) + "]"
+
+    if gtype == "Polygon":
+        nrings = part_offsets[1] if len(part_offsets) > 1 else 0
+        return "[" + ",".join(ring_text(r) for r in range(nrings)) + "]"
+    if gtype == "MultiLineString":
+        nparts = len(part_offsets) - 1
+        return "[" + ",".join(ring_text(part_offsets[p]) for p in range(nparts)) + "]"
+    # MultiPolygon
+    nparts = len(part_offsets) - 1
+    polys = []
+    for p in range(nparts):
+        polys.append(
+            "[" + ",".join(ring_text(r) for r in range(part_offsets[p], part_offsets[p + 1])) + "]"
+        )
+    return "[" + ",".join(polys) + "]"
+
+
+def _bbox_text(b: list[float]) -> str:
+    return "[" + ",".join(_fmt_f(v) for v in b) + "]"
+
+
+def _fm_tail(fm: str | None) -> str:
+    """Foreign members rendered as ',"k":v,...' (or '')."""
+    if fm is None:
+        return ""
+    inner = fm[1:-1]
+    return "," + inner if inner else ""
+
+
+def serialize_geometry(g: dict) -> str:
+    """Geometry → compact JSON. Key order matches serde field order:
+    bbox (if any), then the flattened type tag + coordinates/geometries,
+    then foreign members (src/geometry.rs:240-260)."""
+    parts = []
+    if g.get("bbox") is not None:
+        parts.append('"bbox":' + _bbox_text(g["bbox"]))
+    parts.append('"type":' + dumps_json(g["geom_type"]))
+    if g["geom_type"] == "GeometryCollection":
+        parts.append('"geometries":' + (g["geoms_json"] or "[]"))
+    else:
+        parts.append('"coordinates":' + serialize_coordinates(g))
+    body = ",".join(parts) + _fm_tail(g.get("foreign_members"))
+    return "{" + body + "}"
+
+
+def serialize_feature(f: dict) -> str:
+    """Feature → compact JSON. Key order = serde tag + field order:
+    type, bbox?, geometry (always), id?, properties (always, null if absent),
+    foreign members (src/feature.rs:63-96, always-props rule 84-87)."""
+    parts = ['"type":"Feature"']
+    if f.get("bbox") is not None:
+        parts.append('"bbox":' + _bbox_text(f["bbox"]))
+    g = f.get("geometry")
+    parts.append('"geometry":' + (serialize_geometry(g) if g is not None else "null"))
+    if f.get("id_json") is not None:
+        parts.append('"id":' + f["id_json"])
+    props = f.get("properties")
+    parts.append('"properties":' + (props if props is not None else "null"))
+    return "{" + ",".join(parts) + _fm_tail(f.get("foreign_members")) + "}"
+
+
+def serialize_feature_collection(fc: dict) -> str:
+    parts = ['"type":"FeatureCollection"']
+    if fc.get("bbox") is not None:
+        parts.append('"bbox":' + _bbox_text(fc["bbox"]))
+    parts.append(
+        '"features":[' + ",".join(serialize_feature(f) for f in fc["features"]) + "]"
+    )
+    return "{" + ",".join(parts) + _fm_tail(fc.get("foreign_members")) + "}"
+
+
+def serialize_geojson(kind: str, obj: dict) -> str:
+    if kind == "Geometry":
+        return serialize_geometry(obj)
+    if kind == "Feature":
+        return serialize_feature(obj)
+    if kind == "FeatureCollection":
+        return serialize_feature_collection(obj)
+    raise ExpectedType("Geometry|Feature|FeatureCollection", kind)
