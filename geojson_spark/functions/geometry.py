@@ -1,0 +1,116 @@
+"""Vectorized geometry kernels over the columnar encoding.
+
+These are the NumPy hot-path functions invoked from pandas/Arrow UDFs —
+flat buffers in, flat buffers out, no per-row Python (BASELINE.json
+``input_hint``). The reference crate has no geometry predicates (it is a
+format library); PIP/kNN semantics come from the north rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EARTH_RADIUS_KM = 6371.0088
+
+
+def haversine_km(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle distance in km, elementwise over float64 arrays."""
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(a, dtype=np.float64)) for a in (lon1, lat1, lon2, lat2))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+
+
+def geometry_bbox(coords: np.ndarray, dim: int) -> list[float] | None:
+    """[min_x, min_y, max_x, max_y] over interleaved coords (2-D slots only).
+
+    Mirrors the bbox shape rules of RFC 7946 §5 as used by the reference's
+    bbox fold (src/feature_collection.rs:184-241); returns None for empty.
+    """
+    if dim < 2 or coords.size == 0:
+        return None
+    xs = coords[0::dim]
+    ys = coords[1::dim]
+    return [float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())]
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Ray-casting crossing test of n points against one ring.
+
+    ``ring`` is (m, 2) float64 (closed or open — the wrap edge is included).
+    Vectorized over points × edges: O(n·m) numpy, no Python loop over points.
+    Boundary points follow the half-open crossing rule (consistent, so a
+    point on a shared border lands in exactly one polygon).
+    """
+    x1 = ring[:, 0]
+    y1 = ring[:, 1]
+    x2 = np.roll(x1, -1)
+    y2 = np.roll(y1, -1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = (x2 - x1) / (y2 - y1)
+    n = px.shape[0]
+    out = np.empty(n, dtype=bool)
+    # chunk points so the (chunk, edges) intermediates stay cache/memory-sized
+    chunk = max(1, (1 << 22) // max(1, x1.shape[0]))
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        cpx = px[lo:hi, None]
+        cpy = py[lo:hi, None]
+        cond = (y1[None, :] > cpy) != (y2[None, :] > cpy)
+        xint = x1[None, :] + (cpy - y1[None, :]) * slope[None, :]
+        out[lo:hi] = ((cond & (cpx < xint)).sum(axis=1) % 2).astype(bool)
+    return out
+
+
+def points_in_polygon(
+    px: np.ndarray,
+    py: np.ndarray,
+    coords: np.ndarray,
+    ring_offsets: np.ndarray,
+    dim: int = 2,
+) -> np.ndarray:
+    """Points vs one (multi-ring) polygon: inside exterior, outside holes.
+
+    Even-odd rule over all rings — exactly the RFC winding-agnostic
+    semantics: a point is inside iff it crosses an odd number of ring
+    boundaries in total.
+    """
+    n = px.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    inside = np.zeros(n, dtype=bool)
+    xs = coords[0::dim]
+    ys = coords[1::dim]
+    for r in range(len(ring_offsets) - 1):
+        a, b = ring_offsets[r], ring_offsets[r + 1]
+        if b - a < 3:
+            continue
+        ring = np.stack([xs[a:b], ys[a:b]], axis=1)
+        # drop duplicated closing vertex so the roll-edge isn't double-counted
+        if ring.shape[0] > 1 and ring[0, 0] == ring[-1, 0] and ring[0, 1] == ring[-1, 1]:
+            ring = ring[:-1]
+        inside ^= points_in_ring(px, py, ring)
+    return inside
+
+
+def polygon_cover_cells(
+    bbox: list[float],
+    cell_fn,
+    step_deg: float,
+) -> np.ndarray:
+    """Candidate cell ids covering a polygon's bbox.
+
+    Samples the bbox on a grid at ``step_deg`` (≤ the target cell size so no
+    cell is skipped) and maps each sample through ``cell_fn(lon, lat)``.
+    Returns unique int64 cell ids. This is the join-key fan-out side; exact
+    PIP refinement happens after the equi-join, so over-coverage only costs
+    candidate pairs, never correctness.
+    """
+    min_x, min_y, max_x, max_y = bbox
+    # pad by one step so boundary cells are included
+    xs = np.arange(min_x - step_deg, max_x + 2 * step_deg, step_deg)
+    ys = np.arange(min_y - step_deg, max_y + 2 * step_deg, step_deg)
+    gx, gy = np.meshgrid(xs, ys)
+    cells = cell_fn(gx.ravel(), gy.ravel())
+    return np.unique(cells)

@@ -1,0 +1,176 @@
+"""Property tests for the cell indexes and geometry kernels."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geojson_spark.functions.cells import (
+    hex_cell_id,
+    hex_center,
+    hex_k_ring,
+    hex_parent,
+    hex_unpack,
+    s2_cell_center,
+    s2_cell_id,
+    s2_from_face_ij,
+    s2_k_ring,
+    s2_parent,
+    s2_to_face_ij,
+)
+from geojson_spark.functions.geometry import (
+    geometry_bbox,
+    haversine_km,
+    points_in_polygon,
+    polygon_cover_cells,
+)
+
+RNG = np.random.default_rng(42)
+N = 20_000
+LON = RNG.uniform(-180, 180, N)
+LAT = RNG.uniform(-85, 85, N)
+
+
+def test_s2_deterministic_and_shared():
+    a = s2_cell_id(LON, LAT, 13)
+    b = s2_cell_id(LON, LAT, 13)
+    assert np.array_equal(a, b)
+    # nearby points share cells; far points don't
+    c = s2_cell_id(LON + 1e-9, LAT + 1e-9, 13)
+    assert (a == c).mean() > 0.999
+
+
+def test_s2_center_within_cell():
+    cid = s2_cell_id(LON, LAT, 13)
+    clon, clat = s2_cell_center(cid, 13)
+    # level-13 cell ≈ 1.2 km across; center must be < ~2 km from the point
+    d = haversine_km(LON, LAT, clon, clat)
+    assert d.max() < 2.5, d.max()
+
+
+def test_s2_parent_hierarchy():
+    c13 = s2_cell_id(LON, LAT, 13)
+    c9 = s2_parent(c13, 9)
+    c9_direct = s2_cell_id(LON, LAT, 9)
+    assert np.array_equal(c9, c9_direct)
+    # siblings of one parent are spatially adjacent in Hilbert order
+    assert np.array_equal(s2_parent(c9, 9), c9)  # idempotent
+
+
+def test_s2_face_ij_roundtrip():
+    cid = s2_cell_id(LON, LAT, 13)
+    f, i, j = s2_to_face_ij(cid, 13)
+    assert np.array_equal(s2_from_face_ij(f, i, j, 13), cid)
+
+
+def test_s2_k_ring_contains_self_and_neighbors():
+    cid = s2_cell_id(LON[:500], LAT[:500], 13)
+    ring = s2_k_ring(cid, 13, 1)
+    assert ring.shape == (500, 9)
+    assert (ring == cid[:, None]).any(axis=1).all()
+    # a point nudged one cell over lands inside the ring almost always
+    near = s2_cell_id(LON[:500] + 0.01, LAT[:500], 13)
+    hit = (ring == near[:, None]).any(axis=1) | (near == cid)
+    assert hit.mean() > 0.6  # 0.01° ≈ 1.1km ≈ one level-13 cell
+
+
+def test_hex_roundtrip_and_parent():
+    cid = hex_cell_id(LON, LAT, 9)
+    res, q, r = hex_unpack(cid)
+    assert (res == 9).all()
+    cx, cy = hex_center(cid)
+    # center within one hex size (~0.00066° at res 9 · size formula)
+    assert np.abs(cx - LON).max() < 0.01
+    assert np.abs(cy - LAT).max() < 0.01
+    p = hex_parent(cid, 8)
+    res_p, _, _ = hex_unpack(p)
+    assert (res_p == 8).all()
+    # parent center close to child center
+    px_, py_ = hex_center(p)
+    assert np.abs(px_ - cx).max() < 0.05
+
+
+def test_hex_parent_aperture_7():
+    # deterministic, and parents cover ~7 children on average (aperture 7)
+    cid = hex_cell_id(LON, LAT, 9)
+    p1 = hex_parent(cid, 8)
+    assert np.array_equal(p1, hex_parent(cid, 8))
+    uc = np.unique(cid)
+    up = np.unique(hex_parent(uc, 8))
+    ratio = len(uc) / len(up)
+    # sampled cells are sparse at this N, so the ratio underestimates 7;
+    # check with a dense patch instead
+    dlon = RNG.uniform(10, 10.2, 50_000)
+    dlat = RNG.uniform(40, 40.2, 50_000)
+    dc = np.unique(hex_cell_id(dlon, dlat, 9))
+    dp = np.unique(hex_parent(dc, 8))
+    dense_ratio = len(dc) / len(dp)
+    assert 5.5 < dense_ratio < 8.5, (ratio, dense_ratio)
+    # one-step vs two-step mostly agree (non-nesting lattice → not always)
+    agree = (hex_parent(cid, 7) == hex_parent(hex_parent(cid, 8), 7)).mean()
+    assert agree > 0.7
+
+
+def test_hex_k_ring():
+    cid = hex_cell_id(LON[:100], LAT[:100], 9)
+    ring = hex_k_ring(cid, 2)
+    assert ring.shape == (100, 19)
+    assert (ring == cid[:, None]).any(axis=1).all()
+    assert all(len(set(row)) == 19 for row in ring[:10])
+
+
+def test_haversine_known():
+    # Paris → London ≈ 344 km
+    d = haversine_km(np.array([2.3522]), np.array([48.8566]), np.array([-0.1276]), np.array([51.5072]))
+    assert abs(d[0] - 344) < 2
+
+
+def test_pip_square_with_hole():
+    # unit square with a centered half-size hole
+    coords = np.array(
+        [0, 0, 1, 0, 1, 1, 0, 1, 0, 0,  # exterior (closed)
+         0.25, 0.25, 0.75, 0.25, 0.75, 0.75, 0.25, 0.75, 0.25, 0.25],  # hole
+        dtype=np.float64,
+    )
+    ring_offsets = np.array([0, 5, 10])
+    px = np.array([0.1, 0.5, 0.9, 1.5, 0.26, -0.1])
+    py = np.array([0.1, 0.5, 0.5, 0.5, 0.9, 0.5])
+    got = points_in_polygon(px, py, coords, ring_offsets)
+    assert got.tolist() == [True, False, True, False, True, False]
+
+
+def test_pip_matches_matplotlib_free_oracle():
+    # random convex polygon; oracle = half-plane test (convexity)
+    ang = np.sort(RNG.uniform(0, 2 * np.pi, 12))
+    vx = np.cos(ang) * 3 + 10
+    vy = np.sin(ang) * 2 + 20
+    coords = np.stack([vx, vy], axis=1).ravel()
+    ring_offsets = np.array([0, 12])
+    px = RNG.uniform(5, 15, 5000)
+    py = RNG.uniform(16, 24, 5000)
+    got = points_in_polygon(px, py, coords, ring_offsets)
+    # convex oracle: inside iff on same side of every edge
+    x2 = np.roll(vx, -1)
+    y2 = np.roll(vy, -1)
+    cross = (x2 - vx)[None, :] * (py[:, None] - vy[None, :]) - (y2 - vy)[None, :] * (
+        px[:, None] - vx[None, :]
+    )
+    want = (cross > 0).all(axis=1) | (cross < 0).all(axis=1)
+    mismatch = got != want
+    # boundary-grazing points may differ; require < 0.1% disagreement
+    assert mismatch.mean() < 0.001
+
+
+def test_cover_cells_superset():
+    # every point inside the bbox maps to a cell in the cover
+    bbox = [10.0, 20.0, 10.5, 20.4]
+    cover = polygon_cover_cells(bbox, lambda lo, la: s2_cell_id(lo, la, 13), step_deg=0.005)
+    px = RNG.uniform(10.0, 10.5, 2000)
+    py = RNG.uniform(20.0, 20.4, 2000)
+    pc = s2_cell_id(px, py, 13)
+    assert np.isin(pc, cover).all()
+
+
+def test_geometry_bbox():
+    assert geometry_bbox(np.array([1.0, 2.0, 3.0, 4.0]), 2) == [1.0, 2.0, 3.0, 4.0]
+    assert geometry_bbox(np.array([]), 2) is None
