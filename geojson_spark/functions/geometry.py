@@ -58,8 +58,10 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
         cpx = px[lo:hi, None]
         cpy = py[lo:hi, None]
         cond = (y1[None, :] > cpy) != (y2[None, :] > cpy)
-        xint = x1[None, :] + (cpy - y1[None, :]) * slope[None, :]
-        out[lo:hi] = ((cond & (cpx < xint)).sum(axis=1) % 2).astype(bool)
+        with np.errstate(invalid="ignore"):
+            # horizontal edges give inf/nan slope; cond is False there
+            xint = x1[None, :] + (cpy - y1[None, :]) * slope[None, :]
+            out[lo:hi] = ((cond & (cpx < xint)).sum(axis=1) % 2).astype(bool)
     return out
 
 

@@ -1,0 +1,116 @@
+"""Spark Column helpers and vectorized UDFs for the spatial layer.
+
+Design rule (SURVEY.md §4): anything expressible as built-in Column
+arithmetic stays JVM-side inside whole-stage codegen — grid cells, parent
+cells, haversine, salting. Only the S2/hex sphere math crosses into Python,
+as Arrow-batched pandas UDFs over flat NumPy arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from geojson_spark.functions import cells as _cells
+
+# SQL-reproducible grid (FIXTURES.md §4): the DuckDB-oracle stand-in index.
+GRID_K = 4096
+EARTH_RADIUS_KM = 6371.0088
+
+
+def grid_cell(lon: Column, lat: Column, cells_per_degree: int = 8) -> Column:
+    """floor-grid cell id — pure Column arithmetic, whole-stage codegen.
+
+    Matches the oracle SQL exactly:
+    ``cast(floor((lon+180)*c) as bigint)*4096 + cast(floor((lat+90)*c) as bigint)``
+    """
+    gx = F.floor((lon + F.lit(180.0)) * F.lit(float(cells_per_degree))).cast("bigint")
+    gy = F.floor((lat + F.lit(90.0)) * F.lit(float(cells_per_degree))).cast("bigint")
+    return (gx * F.lit(GRID_K) + gy).alias("cell_id")
+
+
+def grid_parent(cell: Column, factor: int) -> Column:
+    """Coarsen a grid cell by an integer factor — raster-tile ids are just
+    coarser grid cells, so tile↔cell joins are equi-joins on this expression
+    (north rule 'raster-tile ↔ vector-cell join'; no UDF, no shuffle skew)."""
+    gx = F.floor(cell / F.lit(GRID_K)).cast("bigint")
+    gy = (cell % F.lit(GRID_K)).cast("bigint")
+    return (
+        F.floor(gx / F.lit(factor)).cast("bigint") * F.lit(GRID_K)
+        + F.floor(gy / F.lit(factor)).cast("bigint")
+    )
+
+
+def haversine_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle km as built-in Column trig — stays in codegen, and is
+    byte-for-byte reproducible in the DuckDB oracle (same formula, same
+    radius constant)."""
+    rlat1 = F.radians(lat1)
+    rlat2 = F.radians(lat2)
+    dlat = (rlat2 - rlat1) / 2.0
+    dlon = (F.radians(lon2) - F.radians(lon1)) / 2.0
+    h = F.sin(dlat) * F.sin(dlat) + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+
+
+def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """The DuckDB-side twin of haversine_km (for oracle_sql strings)."""
+    return (
+        f"2.0 * 6371.0088 * asin(least(1.0, sqrt("
+        f"pow(sin((radians({lat2}) - radians({lat1}))/2), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin((radians({lon2}) - radians({lon1}))/2), 2))))"
+    )
+
+
+def salt(key: Column, n_salts: int = 16) -> Column:
+    """Deterministic salt for two-stage skew aggregation — xxhash64 stays
+    JVM-side (north rule 'salted two-stage aggregation')."""
+    return F.pmod(F.xxhash64(key), F.lit(n_salts))
+
+
+def s2_cell_udf(level: int = 13):
+    """pandas UDF (lon, lat) → S2-style int64 cell id at ``level``."""
+
+    @F.pandas_udf(LongType())
+    def _s2(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = _cells.s2_cell_id(lon.to_numpy(np.float64), lat.to_numpy(np.float64), level)
+        return pd.Series(out)
+
+    return _s2
+
+
+def hex_cell_udf(res: int = 9):
+    """pandas UDF (lon, lat) → hex cell id at ``res``."""
+
+    @F.pandas_udf(LongType())
+    def _hex(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = _cells.hex_cell_id(lon.to_numpy(np.float64), lat.to_numpy(np.float64), res)
+        return pd.Series(out)
+
+    return _hex
+
+
+def s2_parent_col(cell: Column, level: int) -> Column:
+    """S2 parent as pure Column bit arithmetic: (id & -lsb) | lsb."""
+    lsb = int(_cells.s2_lsb(level))
+    return cell.bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb))
+
+
+def derived_lonlat(key: Column, prime_lon: int = 7919, prime_lat: int = 104729):
+    """Deterministic lon/lat from an integer key — the SQL-expressible
+    point synthesis shared by engine and oracle (FIXTURES.md §4):
+    lon = mod(key*p1, 360000)/1000 - 180; lat = mod(key*p2, 170000)/1000 - 85.
+    """
+    lon = (F.pmod(key * F.lit(prime_lon), F.lit(360000)) / F.lit(1000.0)) - F.lit(180.0)
+    lat = (F.pmod(key * F.lit(prime_lat), F.lit(170000)) / F.lit(1000.0)) - F.lit(85.0)
+    return lon, lat
+
+
+def derived_lonlat_sql(key: str, prime_lon: int = 7919, prime_lat: int = 104729):
+    lon = f"(({key} * {prime_lon}) % 360000) / 1000.0 - 180.0"
+    lat = f"(({key} * {prime_lat}) % 170000) / 1000.0 - 85.0"
+    return lon, lat

@@ -1,0 +1,224 @@
+"""Synthetic image+caption table — the north-rule input, generated in Spark.
+
+Schema per BASELINE.json ``input_hint``: (image_id string, bytes binary,
+w int32, h int32, fmt string, caption string, phash int64) plus derived
+lon/lat (FIXTURES.md §1). Deterministic in ``image_id`` (splitmix64 mixing),
+generated distributed via mapInPandas over ``spark.range`` — no driver-side
+materialization, so the same code generates 10^4 or 10^12 rows.
+
+Codecs (all pure NumPy, no PIL/cv2 in this container — SURVEY.md §7.1):
+  raw  — w·h·3 uint8 pixels, little-endian scanline order
+  rle  — byte-pair run-length encoding (count uint8 ≤ 255, value uint8)
+  q8   — lossy: quantization step 8 (values (p & 0xF8) | 4); worst-case
+         PSNR = 20·log10(255 / (8/√12)) ≈ 40.9 dB ≥ the 40 dB invariant
+         by construction.
+
+phash — 64-bit average-hash: mean of each 8×8 block grid vs global mean.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from geojson_spark.schema import IMAGE_SCHEMA
+
+# 3 "city" hotspot centers for the skew fixture (lon, lat)
+HOTSPOTS = [(-74.006, 40.7128), (2.3522, 48.8566), (139.6917, 35.6895)]
+HOTSPOT_FRACTION = 0.3
+_WORDS = (
+    "ochre delta crane lattice ember quartz salt fjord plume cedar "
+    "onyx tundra marble comet wharf prism basalt sable umber reed"
+).split()
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (public splitmix64 constants)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _pixels_for(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic pixel buffer for image index i — counter-mode hash RNG."""
+    n = w * h * 3
+    idx = np.arange(n, dtype=np.uint64) + (np.uint64(i) << np.uint64(24))
+    return (_splitmix64(idx) & np.uint64(0xFF)).astype(np.uint8)
+
+
+def rle_encode(px: np.ndarray) -> bytes:
+    """Byte-pair RLE: (count≤255, value) over the flat pixel stream."""
+    if px.size == 0:
+        return b""
+    change = np.flatnonzero(np.diff(px)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [px.size]))
+    counts = ends - starts
+    values = px[starts]
+    # split runs longer than 255
+    reps = (counts + 254) // 255
+    out_vals = np.repeat(values, reps)
+    out_counts = np.empty(out_vals.size, dtype=np.int64)
+    pos = 0
+    for c, r in zip(counts, reps):
+        if r == 1:
+            out_counts[pos] = c
+            pos += 1
+        else:
+            out_counts[pos : pos + r - 1] = 255
+            out_counts[pos + r - 1] = c - 255 * (r - 1)
+            pos += r
+    pairs = np.empty(out_vals.size * 2, dtype=np.uint8)
+    pairs[0::2] = out_counts.astype(np.uint8)
+    pairs[1::2] = out_vals
+    return pairs.tobytes()
+
+
+def rle_decode(buf: bytes) -> np.ndarray:
+    pairs = np.frombuffer(buf, dtype=np.uint8)
+    counts = pairs[0::2].astype(np.int64)
+    values = pairs[1::2]
+    return np.repeat(values, counts)
+
+
+def q8_quantize(px: np.ndarray) -> np.ndarray:
+    return ((px & 0xF8) | 4).astype(np.uint8)
+
+
+def encode_image(px: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return px.tobytes()
+    if fmt == "rle":
+        return rle_encode(px)
+    if fmt == "q8":
+        return q8_quantize(px).tobytes()
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    """bytes → flat uint8 pixel array of length w·h·3."""
+    if fmt == "raw" or fmt == "q8":
+        px = np.frombuffer(buf, dtype=np.uint8)
+    elif fmt == "rle":
+        px = rle_decode(buf)
+    else:
+        raise ValueError(f"unknown fmt {fmt!r}")
+    if px.size != w * h * 3:
+        raise ValueError(f"decoded {px.size} bytes, expected {w * h * 3}")
+    return px
+
+
+def psnr_db(orig: np.ndarray, decoded: np.ndarray) -> float:
+    """Peak signal-to-noise ratio; inf for exact match."""
+    diff = orig.astype(np.float64) - decoded.astype(np.float64)
+    mse = float((diff * diff).mean()) if diff.size else 0.0
+    if mse == 0.0:
+        return float("inf")
+    return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+
+
+def average_phash(px: np.ndarray, w: int, h: int) -> int:
+    """64-bit average hash: 8×8 grid of mean luminance vs global mean."""
+    img = px.reshape(h, w, 3).astype(np.float64).mean(axis=2)
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8))
+    for by in range(8):
+        for bx in range(8):
+            blocks[by, bx] = img[ys[by] : max(ys[by] + 1, ys[by + 1]),
+                                 xs[bx] : max(xs[bx] + 1, xs[bx + 1])].mean()
+    bits = (blocks > blocks.mean()).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def caption_for(i: int, h: int) -> str:
+    words = [_WORDS[(h >> (4 * k)) % len(_WORDS)] for k in range(4)]
+    return f"caption {i} " + " ".join(words)
+
+
+def lonlat_for(hashes: np.ndarray, skew: bool):
+    """Derived lon/lat per FIXTURES.md §1; skew puts 30% in 3 hotspots."""
+    lon = (hashes % np.uint64(360000)).astype(np.float64) / 1000.0 - 180.0
+    h2 = _splitmix64(hashes)
+    lat = (h2 % np.uint64(170000)).astype(np.float64) / 1000.0 - 85.0
+    if skew:
+        h3 = _splitmix64(h2)
+        in_hot = (h3 % np.uint64(1000)).astype(np.float64) < HOTSPOT_FRACTION * 1000
+        which = (_splitmix64(h3) % np.uint64(3)).astype(np.int64)
+        jitter_lon = ((h3 >> np.uint64(10)) % np.uint64(2000)).astype(np.float64) / 100000.0 - 0.01
+        jitter_lat = ((h3 >> np.uint64(24)) % np.uint64(2000)).astype(np.float64) / 100000.0 - 0.01
+        hot_lon = np.choose(which, [c[0] for c in HOTSPOTS]) + jitter_lon
+        hot_lat = np.choose(which, [c[1] for c in HOTSPOTS]) + jitter_lat
+        lon = np.where(in_hot, hot_lon, lon)
+        lat = np.where(in_hot, hot_lat, lat)
+    return lon, lat
+
+
+def _gen_batch(ids: np.ndarray, skew: bool) -> pd.DataFrame:
+    hashes = _splitmix64(ids.astype(np.uint64))
+    ws = (8 + (hashes % np.uint64(25))).astype(np.int32)
+    hs = (8 + ((hashes >> np.uint64(8)) % np.uint64(25))).astype(np.int32)
+    fmts = np.array(["raw", "rle", "q8"])[ids % 3]
+    lon, lat = lonlat_for(hashes, skew)
+    rows = []
+    for k in range(ids.size):
+        i = int(ids[k])
+        w, h = int(ws[k]), int(hs[k])
+        px = _pixels_for(i, w, h)
+        fmt = str(fmts[k])
+        buf = encode_image(px, fmt)
+        decoded = decode_image(buf, fmt, w, h)
+        rows.append(
+            {
+                "image_id": f"img{i:012d}",
+                "bytes": buf,
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": caption_for(i, int(hashes[k])),
+                "phash": average_phash(decoded, w, h),
+                "lon": float(lon[k]),
+                "lat": float(lat[k]),
+            }
+        )
+    return pd.DataFrame(rows, columns=IMAGE_SCHEMA.names)
+
+
+def generate_images(
+    spark: SparkSession, n: int, skew: bool = True, partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic image table: same rows at any parallelism."""
+    rng_df = spark.range(0, n, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["id"].to_numpy(np.int64)
+            for lo in range(0, ids.size, 4096):
+                yield _gen_batch(ids[lo : lo + 4096], skew)
+
+    return rng_df.mapInPandas(gen, schema=IMAGE_SCHEMA)
+
+
+def regen_caption_and_pixels(image_ids: pd.Series):
+    """Recompute (caption, pixels) from image_id — the invariant oracle
+    (caption byte-equality + PSNR after every shuffle, BASELINE.json)."""
+    out_cap = []
+    out_px = []
+    for s in image_ids:
+        i = int(s[3:])
+        h = int(_splitmix64(np.array([i], dtype=np.uint64))[0])
+        w = 8 + (h % 25)
+        hh = 8 + ((h >> 8) % 25)
+        out_cap.append(caption_for(i, h))
+        out_px.append(_pixels_for(i, w, hh))
+    return out_cap, out_px

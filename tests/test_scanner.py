@@ -1,0 +1,76 @@
+"""Streaming feature scanner tests (FeatureIterator parity).
+
+Covers the reference's key-order permutation cases
+(src/feature_iterator.rs:232-299) and chunk-boundary robustness.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from geojson_spark.sources.geojson import iter_feature_strings
+
+TWO_FEATURES = {
+    "type": "FeatureCollection",
+    "features": [
+        {"type": "Feature", "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+         "properties": {"a": "x,{}[]\"escaped\""}},
+        {"type": "Feature", "geometry": None, "properties": None},
+    ],
+}
+
+
+def scan(doc: str, chunk: int = 7):
+    return list(iter_feature_strings(io.StringIO(doc), chunk_size=chunk))
+
+
+@pytest.mark.parametrize("chunk", [1, 3, 7, 64, 1 << 20])
+def test_basic_and_chunk_boundaries(chunk):
+    feats = scan(json.dumps(TWO_FEATURES), chunk)
+    assert len(feats) == 2
+    assert json.loads(feats[0])["properties"]["a"] == 'x,{}[]"escaped"'
+    assert json.loads(feats[1])["geometry"] is None
+
+
+def test_features_before_type_key():
+    # key order permutation (feature_iterator.rs:232-299)
+    doc = '{"features":[{"type":"Feature","geometry":null,"properties":null}],"type":"FeatureCollection"}'
+    assert len(scan(doc)) == 1
+
+
+def test_foreign_member_array_not_confused():
+    doc = (
+        '{"type":"FeatureCollection","custom":[{"fake":1},{"fake":2}],'
+        '"features":[{"type":"Feature","geometry":null,"properties":null}]}'
+    )
+    feats = scan(doc)
+    assert len(feats) == 1
+    assert "fake" not in feats[0]
+
+
+def test_string_containing_features_key():
+    doc = (
+        '{"type":"FeatureCollection","note":"features",'
+        '"features":[{"type":"Feature","geometry":null,"properties":null}]}'
+    )
+    # the value string "features" is the last string before '[' — by design
+    # a depth-1 '[' following the literal key works; a value string equal to
+    # "features" followed immediately by an array key cannot occur in valid
+    # JSON ( {"note":"features" [ } is malformed ), so this parses correctly.
+    assert len(scan(doc)) == 1
+
+
+def test_empty_features():
+    assert scan('{"type":"FeatureCollection","features":[]}') == []
+
+
+def test_large_real_document():
+    with open("/root/reference/tests/fixtures/countries.geojson", encoding="utf-8") as fh:
+        feats = list(iter_feature_strings(fh, chunk_size=8192))
+    assert len(feats) == 180
+    for f in feats[:5] + feats[-5:]:
+        obj = json.loads(f)
+        assert obj["type"] == "Feature"
