@@ -537,3 +537,14 @@ def serialize_geojson(kind: str, obj: dict) -> str:
     if kind == "FeatureCollection":
         return serialize_feature_collection(obj)
     raise ExpectedType("Geometry|Feature|FeatureCollection", kind)
+
+
+def serialize_geojson_pretty(kind: str, obj: dict, indent: int = 2) -> str:
+    """Pretty print (S2 — GeoJson::to_string_pretty, src/geojson.rs:178-184).
+
+    Re-indents the compact form; key order is preserved (Python dicts keep
+    insertion order), numeric text is unchanged because values re-serialize
+    through the same float repr.
+    """
+    compact = serialize_geojson(kind, obj)
+    return json.dumps(json.loads(compact), indent=indent, ensure_ascii=False)

@@ -1,0 +1,161 @@
+"""Text-analysis kernels for the training-data pipeline operators.
+
+All functions operate on pandas Series / NumPy arrays inside Arrow-batched
+UDFs. Hash functions are plain polynomial/xor mixes (no external deps), and
+every operator that feeds a DuckDB oracle keeps to SQL-reproducible
+primitives (md5, regexp, length arithmetic) — see __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_WORD_RE = re.compile(r"\S+")
+_PUNCT_RE = re.compile(r"[.,!?;:]")
+
+# tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic (public common-word lists)
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "was", "for"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"},
+    "fr": {"le", "la", "et", "les", "des", "est", "un", "une", "du", "que"},
+    "es": {"el", "la", "de", "que", "los", "es", "un", "una", "las", "por"},
+}
+
+
+def token_count(texts: pd.Series) -> np.ndarray:
+    return texts.fillna("").str.count(r"\S+").to_numpy(np.int64)
+
+
+def punct_count(texts: pd.Series) -> np.ndarray:
+    return texts.fillna("").str.count(r"[.,!?;:]").to_numpy(np.int64)
+
+
+def quality_score(texts: pd.Series) -> np.ndarray:
+    """Length/punctuation/word-shape heuristic in [0,1] — floor-rounded to
+    1e-3 so Spark and any SQL oracle agree bit-exactly."""
+    t = texts.fillna("")
+    n_chars = t.str.len().to_numpy(np.float64)
+    n_tok = token_count(t).astype(np.float64)
+    n_punct = punct_count(t).astype(np.float64)
+    mean_wlen = np.where(n_tok > 0, (n_chars - (n_tok - 1).clip(0)) / np.maximum(n_tok, 1), 0.0)
+    len_term = np.minimum(n_chars / 200.0, 1.0)
+    punct_term = np.minimum(n_punct / np.maximum(n_tok, 1.0) * 5.0, 1.0)
+    wlen_term = np.clip(1.0 - np.abs(mean_wlen - 5.0) / 10.0, 0.0, 1.0)
+    score = 0.4 * len_term + 0.3 * punct_term + 0.3 * wlen_term
+    return np.floor(score * 1000.0) / 1000.0
+
+
+def lang_id(texts: pd.Series) -> list[str]:
+    """Stopword-profile language ID: argmax marker-hit rate, 'und' if none."""
+    out = []
+    for t in texts.fillna(""):
+        words = set(w.lower() for w in _WORD_RE.findall(t)[:200])
+        best, best_n = "und", 0
+        for lang, markers in _LANG_MARKERS.items():
+            n = len(words & markers)
+            if n > best_n:
+                best, best_n = lang, n
+        out.append(best)
+    return out
+
+
+def shingles(text: str, k: int = 5) -> set[str]:
+    """Word k-shingles (lowercased)."""
+    words = [w.lower() for w in _WORD_RE.findall(text)]
+    if len(words) < k:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def _hash64_str(s: str, seed: int = 0) -> int:
+    """64-bit string hash: md5 prefix (C speed, process-stable) + seed mix."""
+    import hashlib
+
+    h = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+    if seed:
+        h = (h ^ (seed * 0x9E3779B97F4A7C15)) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def minhash_signature(text: str, n_hashes: int = 64, k: int = 5) -> list[int]:
+    """MinHash over word shingles: one base hash per shingle + n_hashes
+    universal-hash remixes (a·x+b mod p) — vectorized over shingles."""
+    sh = shingles(text, k)
+    if not sh:
+        return [0] * n_hashes
+    base = np.array([_hash64_str(s) for s in sh], dtype=np.uint64)
+    idx = np.arange(1, n_hashes + 1, dtype=np.uint64)
+    a = idx * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+    b = idx * np.uint64(0xC2B2AE3D27D4EB4F)
+    remix = base[:, None] * a[None, :] + b[None, :]  # wraps mod 2^64
+    return remix.min(axis=0).astype(np.int64).tolist()
+
+
+def minhash_bands(sig: list[int], n_bands: int = 16) -> list[int]:
+    """LSH band keys: hash of each band of the signature (rows = len/bands)."""
+    arr = np.asarray(sig, dtype=np.uint64)
+    rows = len(sig) // n_bands
+    out = []
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        for bnd in range(n_bands):
+            chunk = arr[bnd * rows : (bnd + 1) * rows]
+            h = np.uint64(0xCBF29CE484222325 + bnd)
+            for v in chunk:
+                h = (h ^ v) * np.uint64(0x100000001B3)
+            out.append(
+                int(np.int64((h & np.uint64(0x7FFFFFFFFFFFFFFF)) | (np.uint64(bnd) << np.uint64(56))))
+            )
+    return out
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word unigrams+bigrams."""
+    words = [w.lower() for w in _WORD_RE.findall(text)]
+    feats = words + [a + " " + b for a, b in zip(words, words[1:])]
+    if not feats:
+        return 0
+    hs = np.array([_hash64_str(f) for f in feats], dtype=np.uint64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+    v = (2 * bits - 1).sum(axis=0)
+    out = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a.astype(np.int64) ^ b.astype(np.int64)).astype(np.uint64)
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / max(1, len(a | b))
+
+
+def rolling_fingerprint(text: str, window: int = 64, mod: int = (1 << 31) - 1) -> int:
+    """Document fingerprint: min of a rolling polynomial hash (winnowing-lite)."""
+    data = text.encode("utf-8")
+    if len(data) <= window:
+        h = 0
+        for c in data:
+            h = (h * 257 + c) % mod
+        return h
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    pows = np.array([pow(257, window - 1 - i, mod) for i in range(window)], dtype=np.int64)
+    n = len(arr) - window + 1
+    # rolling via prefix hashes: h[i] = sum(arr[i:i+window] * pows) mod p
+    first = int((arr[:window] * pows % mod).sum() % mod)
+    hashes = np.empty(n, dtype=np.int64)
+    hashes[0] = first
+    top = int(pows[0])
+    for i in range(1, n):
+        hashes[i] = ((hashes[i - 1] - arr[i - 1] * top) * 257 + arr[i + window - 1]) % mod
+    return int(hashes.min() % mod)

