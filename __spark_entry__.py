@@ -346,6 +346,83 @@ def q_s2_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: top-3 orders by price per customer segment."""
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP(orderstatus, orderpriority) counts."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+        )
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers with orders EXCEPT high-balance ones,
+    INTERSECT low-key ones, UNION a fixed slice — exercised as one query."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with_orders = orders.select(F.col("o_custkey").alias("k")).distinct()
+    high_bal = cust.where(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    low_keys = cust.where(F.col("c_custkey") < 500).select(F.col("c_custkey").alias("k"))
+    out = with_orders.exceptAll(high_bal).intersect(low_keys).union(
+        cust.where(F.col("c_custkey") < 10).select(F.col("c_custkey").alias("k"))
+    ).distinct()
+    return out.select(F.col("k").cast("bigint").alias("custkey"))
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit with deterministic tie-break (TopK plan)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("bigint").alias("p_id"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+        )
+        .orderBy(F.col("price_cents").desc(), F.col("p_id").asc())
+        .limit(100)
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (sums as exact integer cents)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("sum_base_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: derived points → S2 PIP join vs nation rects → per-polygon
     count + bbox (parse → cell assign → cover explode → equi-join →
@@ -394,6 +471,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": wrap(q_simhash_near_dups),
         "hex_cell_counts": wrap(q_hex_cell_counts),
         "s2_tile_rollup": wrap(q_s2_tile_rollup),
+        "window_topn": wrap(q_window_topn),
+        "rollup": wrap(q_rollup),
+        "set_ops": wrap(q_set_ops),
+        "sort_limit": wrap(q_sort_limit),
+        "pricing_summary": wrap(q_pricing_summary),
     }
 
 
@@ -526,6 +608,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey::BIGINT AS c_custkey, {clon} AS x, {clat} AS y,
                    c_name AS name
             FROM customer
+        """,
+        "window_topn": """
+            WITH j AS (
+              SELECT c_mktsegment, o_orderkey::BIGINT AS o_orderkey,
+                     cast(round(o_totalprice * 100) as bigint) AS price_cents,
+                     row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                     ) AS rn
+              FROM orders JOIN customer ON o_custkey = c_custkey
+            )
+            SELECT c_mktsegment, o_orderkey, price_cents, rn::BIGINT AS rn
+            FROM j WHERE rn <= 3
+        """,
+        "rollup": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "set_ops": """
+            WITH wo AS (SELECT DISTINCT o_custkey AS k FROM orders),
+                 hb AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+                 lk AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 500)
+            SELECT DISTINCT custkey FROM (
+              SELECT k AS custkey FROM (
+                SELECT k FROM (SELECT k FROM wo EXCEPT ALL SELECT k FROM hb)
+                INTERSECT SELECT k FROM lk
+              )
+              UNION ALL
+              SELECT c_custkey FROM customer WHERE c_custkey < 10
+            )
+        """,
+        "sort_limit": """
+            SELECT (l_orderkey * 10 + l_linenumber)::BIGINT AS p_id,
+                   cast(round(l_extendedprice * 100) as bigint) AS price_cents
+            FROM lineitem
+            ORDER BY price_cents DESC, p_id ASC
+            LIMIT 100
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(cast(l_quantity as bigint)) AS sum_qty,
+                   sum(cast(round(l_extendedprice * 100) as bigint)) AS sum_base_cents,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
         """,
     }
 

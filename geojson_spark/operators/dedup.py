@@ -30,6 +30,56 @@ from pyspark.sql.types import ArrayType, BooleanType, DoubleType, LongType
 from geojson_spark.functions import text as T
 
 
+def assign_keepers(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
+    """Connected-components keeper assignment over near-dup pairs.
+
+    (id_a, id_b) edges → (doc_id, keeper_id) where keeper is the minimum id
+    in each connected component. Iterative min-label propagation: each round
+    is two shuffles (groupBy min over both directions); rounds = component
+    diameter (≤ log n after path-halving via keeper chaining). Converges
+    when no label changes — checked with a cheap count, bounded by
+    ``max_iters``.
+    """
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("a"), F.col("id_b").cast("long").alias("b")
+    )
+    both = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = both.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("lbl")).select(
+        F.col("a").alias("id"), F.when(F.col("lbl") < F.col("a"), F.col("lbl"))
+        .otherwise(F.col("a")).alias("keeper_id")
+    )
+    for _ in range(max_iters):
+        # propagate: my keeper ← min(my keeper, keeper of my keeper)
+        chained = labels.alias("x").join(
+            labels.select(F.col("id").alias("keeper_id"), F.col("keeper_id").alias("k2")).alias("y"),
+            "keeper_id",
+            "left",
+        ).select(
+            F.col("x.id").alias("id"),
+            F.least(F.col("keeper_id"), F.coalesce(F.col("k2"), F.col("keeper_id"))).alias(
+                "keeper_id"
+            ),
+        )
+        # also pull neighbor minima through the edges
+        nbr = both.join(labels.withColumnRenamed("id", "b"), "b").groupBy("a").agg(
+            F.min("keeper_id").alias("nk")
+        )
+        new = chained.join(nbr.withColumnRenamed("a", "id"), "id", "left").select(
+            "id", F.least(F.col("keeper_id"), F.coalesce(F.col("nk"), F.col("keeper_id"))).alias("keeper_id")
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.keeper_id") != F.col("o.keeper_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "keeper_id")
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: groups by md5(text); keeps min id per group.
 

@@ -364,6 +364,71 @@ def knn_join(
     )
 
 
+def knn_join_hex(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    *,
+    ring: int = 2,
+    res: int = 9,
+    q_id: str = "q_id",
+    p_id: str = "p_id",
+    q_lon: str = "q_lon",
+    q_lat: str = "q_lat",
+    p_lon: str = "p_lon",
+    p_lat: str = "p_lat",
+    exact: bool = True,
+) -> DataFrame:
+    """kNN via hex k-ring expansion (the north star's 'kNN via H3 k-ring
+    expansion with distance re-rank'), squared-degree metric.
+
+    Queries explode to their ring-``ring`` hex neighborhood (NumPy k_ring in
+    one Arrow batch), equi-join points on hex cell, window re-rank. With
+    ``exact``, completeness uses the lattice bound: hexes at hex-distance
+    > r have center separation ≥ r·√3·size, points deviate ≤ size from
+    centers, so any point outside the ring is ≥ (r√3−2)·size away; failing
+    queries fall back to brute force.
+    """
+    from pyspark.sql.window import Window
+
+    from geojson_spark.functions.cells import _hex_size, hex_k_ring
+    from geojson_spark.functions.spark_funcs import hex_cell_udf
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _ring(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        cells = _cells.hex_cell_id(lon.to_numpy(np.float64), lat.to_numpy(np.float64), res)
+        rings = hex_k_ring(cells, ring)
+        return pd.Series([row.tolist() for row in rings])
+
+    q = queries.select(q_id, q_lon, q_lat, F.explode(_ring(F.col(q_lon), F.col(q_lat))).alias("hex_id"))
+    p = points.select(p_id, p_lon, p_lat, hex_cell_udf(res)(F.col(p_lon), F.col(p_lat)).alias("hex_id"))
+    dx = F.col(p_lon) - F.col(q_lon)
+    dy = F.col(p_lat) - F.col(q_lat)
+    cand = q.join(p, "hex_id").withColumn("dist2", dx * dx + dy * dy)
+    w = Window.partitionBy(q_id).orderBy(F.col("dist2").asc(), F.col(p_id).asc())
+    topk = cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    if not exact:
+        return topk.select(q_id, p_id, "dist2", "rn")
+    topk = topk.cache()
+    size = _hex_size(res)
+    bound2 = max(0.0, (ring * (3.0**0.5) - 2.0) * size) ** 2
+    stats = topk.groupBy(q_id, q_lon, q_lat).agg(
+        F.count("*").alias("n_cand"), F.max("dist2").alias("kth")
+    )
+    ok = stats.where((F.col("n_cand") >= k) & (F.col("kth") <= F.lit(bound2))).select(q_id)
+    complete = topk.join(F.broadcast(ok), q_id)
+    residual = queries.join(F.broadcast(ok), q_id, "left_anti").select(q_id, q_lon, q_lat)
+    brute = (
+        residual.crossJoin(points.select(p_id, p_lon, p_lat))
+        .withColumn("dist2", dx * dx + dy * dy)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+    return complete.select(q_id, p_id, "dist2", "rn").unionByName(
+        brute.select(q_id, p_id, "dist2", "rn")
+    )
+
+
 def tile_join(
     points_with_cell: DataFrame,
     tiles: DataFrame,

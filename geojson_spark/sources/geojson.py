@@ -139,12 +139,16 @@ def _feature_rows(feats: list[dict], base_idx: int) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
 
-def read_geojson(spark: SparkSession, path: str, batch_size: int = 4096) -> DataFrame:
+def read_geojson(
+    spark: SparkSession, path: str, batch_size: int = 4096, properties_schema=None
+) -> DataFrame:
     """Read GeoJSON file(s) → DataFrame[FEATURE_SCHEMA + source_file].
 
     Accepts FeatureCollection documents, bare Features, bare Geometries,
     and newline-delimited GeoJSON. Parallel across files; bounded memory
-    within a file.
+    within a file. With ``properties_schema`` (R3 — FeatureReader::
+    deserialize, src/feature_reader.rs:154-156), properties flatten onto
+    typed columns via ``features_to_table``.
     """
     files_df = spark.read.format("binaryFile").load(path).select("path")
 
@@ -196,7 +200,10 @@ def read_geojson(spark: SparkSession, path: str, batch_size: int = 4096) -> Data
 
     # note: StructType.add mutates in place — build a fresh copy
     schema = StructType(list(FEATURE_SCHEMA.fields) + [StructField("source_file", StringType())])
-    return files_df.mapInPandas(scan, schema=schema)
+    out = files_df.mapInPandas(scan, schema=schema)
+    if properties_schema is not None:
+        out = features_to_table(out, properties_schema)
+    return out
 
 
 def _sniff_kind(head: str) -> str:

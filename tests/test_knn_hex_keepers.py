@@ -1,0 +1,47 @@
+"""Tests: hex k-ring kNN vs brute force; connected-component keepers."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from geojson_spark.operators.dedup import assign_keepers
+from geojson_spark.operators.joins import knn_join_hex
+from geojson_spark.sources.images import generate_images
+
+
+def test_knn_hex_exact_vs_bruteforce(spark):
+    images = generate_images(spark, 2000, skew=True)
+    pts = images.select(
+        F.col("image_id").alias("p_id"), F.col("lon").alias("p_lon"), F.col("lat").alias("p_lat")
+    ).cache()
+    queries = spark.createDataFrame(
+        pd.DataFrame({"q_id": [0, 1, 2], "q_lon": [-74.0, 2.35, 100.0],
+                      "q_lat": [40.71, 48.85, 0.0]})
+    )
+    got = knn_join_hex(queries, pts, k=5, ring=2).toPandas()
+    qp = queries.toPandas()
+    pp = pts.toPandas()
+    for _, q in qp.iterrows():
+        d = (pp.p_lon - q.q_lon) ** 2 + (pp.p_lat - q.q_lat) ** 2
+        want = [pid for _, pid in sorted(zip(d, pp.p_id))[:5]]
+        g = got[got.q_id == q.q_id].sort_values("rn").p_id.tolist()
+        assert g == want, (q.q_id, g, want)
+
+
+def test_assign_keepers_components(spark):
+    # components: {1,2,3,7}, {10,11}, singleton edges absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r.keeper_id for r in assign_keepers(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_assign_keepers_chain(spark):
+    # long chain exercises multi-round propagation
+    edges = [(i, i + 1) for i in range(30)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r.doc_id: r.keeper_id for r in assign_keepers(pairs).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == 31
