@@ -423,6 +423,129 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard near-dup join, prefix-filtered
+    (AllPairs) — all built-in Column ops, integer outputs."""
+    from geojson_spark.operators.dedup import set_similarity_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return set_similarity_join(docs, threshold_milli=500, k_shingle=3)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (deterministic
+    blocking; the LSH variant is exercised in pytest)."""
+    from geojson_spark.operators.similarity import cosine_pairs_blocked
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_pairs_blocked(emb, threshold=0.40)
+    return out.select("id_a", "id_b", F.col("block").cast("bigint").alias("block"))
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the user's latest order at/before the
+    event time (single-shuffle union+window implementation)."""
+    from geojson_spark.operators.joins import asof_join
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderkey",
+    )
+    out = asof_join(
+        ev,
+        orders,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols={"o_orderkey": "o_orderkey"},
+        right_tie="o_orderkey",
+    )
+    return out.select(
+        "event_id", "user_id", F.coalesce("o_orderkey", F.lit(-1)).alias("o_orderkey")
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: clicks within 30 min after each error event of the
+    same user (bucketed equi-join, no theta-join)."""
+    from geojson_spark.operators.joins import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = range_join(
+        clicks,
+        errors,
+        key="user_id",
+        point_time="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=1800,
+    )
+    return joined.groupBy("error_id").agg(F.count("*").alias("n_clicks"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): per-session rollup."""
+    from geojson_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = session_stats(ev, gap="30 minutes", value_col="value")
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "value_cents",
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-lite) — rows-only check;
+    parity vs a pure-Python reference is asserted in pytest."""
+    from pyspark.sql.types import LongType
+
+    from geojson_spark.functions.text import rolling_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    @F.pandas_udf(LongType())
+    def _fp(texts: pd.Series) -> pd.Series:
+        return pd.Series([rolling_fingerprint(t or "") for t in texts])
+
+    return docs.select("doc_id", _fp(F.col("text")).alias("fingerprint"))
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (probe 4 of 16 inverted lists) — rows-only
+    check (approximate by design); recall vs brute force asserted in
+    pytest."""
+    from geojson_spark.operators.similarity import ivf_topk, train_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    C = train_centroids(emb, n_centroids=16)
+    out = ivf_topk(queries, emb, 10, centroids=C, n_probe=4)
+    return out.select("q_id", "vec_id", F.col("rank").cast("bigint").alias("rank"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: derived points → S2 PIP join vs nation rects → per-polygon
     count + bbox (parse → cell assign → cover explode → equi-join →
@@ -476,6 +599,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": wrap(q_set_ops),
         "sort_limit": wrap(q_sort_limit),
         "pricing_summary": wrap(q_pricing_summary),
+        "shingle_jaccard": wrap(q_shingle_jaccard),
+        "embedding_near_dups": wrap(q_embedding_near_dups),
+        "asof_join": wrap(q_asof_join),
+        "range_join": wrap(q_range_join),
+        "sessionize": wrap(q_sessionize),
+        "doc_fingerprint": wrap(q_doc_fingerprint),
+        "ann_ivf": wrap(q_ann_ivf),
     }
 
 
@@ -657,6 +787,73 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "shingle_jaccard": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+              FROM documents
+            ), t AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                       ELSE list_transform(generate_series(1, len(words) - 2),
+                                           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                       END) AS sh
+              FROM w
+            )
+            SELECT id_a, id_b, n_inter, n_union FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.sh, b.sh)) AS n_inter,
+                     len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union
+              FROM t a JOIN t b ON a.doc_id < b.doc_id
+            ) WHERE n_inter * 1000 >= 500 * n_union
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label::BIGINT AS block
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40
+        """,
+        "asof_join": """
+            SELECT event_id, user_id, coalesce(o_orderkey, -1) AS o_orderkey FROM (
+              SELECT e.event_id, e.user_id, o.o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                     ) AS rn
+              FROM events e LEFT JOIN orders o
+                ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+            ) WHERE rn = 1
+        """,
+        "range_join": """
+            SELECT er.event_id AS error_id, count(*) AS n_clicks
+            FROM events er JOIN events c
+              ON c.user_id = er.user_id AND c.event_type = 'click'
+             AND c.ts >= er.ts AND c.ts < er.ts + INTERVAL 30 MINUTE
+            WHERE er.event_type = 'error'
+            GROUP BY 1
+        """,
+        "sessionize": """
+            WITH s AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), x AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM s
+            )
+            SELECT user_id, session_id::BIGINT AS session_id,
+                   count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   sum(cast(round(value * 100) as bigint)) AS value_cents
+            FROM x GROUP BY 1, 2
         """,
     }
 

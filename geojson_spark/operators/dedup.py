@@ -174,6 +174,82 @@ def minhash_lsh_dedup(
 ngram_jaccard_dedup = minhash_lsh_dedup  # same pipeline; exact verify is n-gram Jaccard
 
 
+def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, k: int):
+    """(id, sh) where sh = distinct k-word shingle strings — pure Column ops
+    (split/transform/concat_ws), no UDF, so the whole set-similarity join
+    stays inside whole-stage codegen."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    n = F.size(words)
+    sh = F.when(n < k, F.array(F.array_join(words, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j + 1) for j in range(k)]
+            ),
+        )
+    )
+    return docs.select(F.col(id_col).alias("id"), F.array_distinct(sh).alias("sh"))
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_milli: int = 500,
+    k_shingle: int = 3,
+) -> DataFrame:
+    """Exact all-pairs Jaccard join over k-word shingle sets, prefix-filtered.
+
+    Returns (id_a, id_b, n_inter, n_union) for every pair with
+    ``n_inter * 1000 >= threshold_milli * n_union`` — integer arithmetic, so
+    a SQL oracle reproduces it bit-exactly.
+
+    Scale path (AllPairs/PPJoin prefix filtering, Bayardo et al. WWW'07):
+    instead of a crossJoin, each document emits only its
+    ``|A| - ceil(t·|A|) + 1`` *rarest* shingles (global document-frequency
+    order, ties by shingle text) as join keys; any pair with Jaccard ≥ t
+    must collide on at least one prefix key. Candidates are then verified
+    exactly with ``array_intersect`` on the full sets. Every stage is a
+    built-in: agg (df counts), window (prefix rank), equi-join, integer
+    filter — no Python on the hot path and no quadratic blow-up on
+    non-duplicate data.
+    """
+    from pyspark.sql.window import Window
+
+    toks = _shingle_sets(docs, id_col, text_col, k_shingle).withColumn("n", F.size("sh"))
+    flat = toks.select("id", "n", F.explode("sh").alias("w"))
+    dfreq = flat.groupBy("w").agg(F.count("*").alias("df"))
+    # prefix length = n - ceil(t*n) + 1, all-integer: ceil(a/b) = (a+b-1)//b
+    prefix_len = F.col("n") - F.floor(
+        (F.lit(threshold_milli) * F.col("n") + 999) / 1000
+    ).cast("int") + 1
+    ranked = (
+        flat.join(dfreq, "w")
+        .withColumn(
+            "pos", F.row_number().over(Window.partitionBy("id").orderBy("df", "w"))
+        )
+        .where(F.col("pos") <= prefix_len)
+        .select("id", "w")
+    )
+    cand = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), "w")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sized = toks.select("id", "sh", "n")
+    verified = (
+        cand.join(sized.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sized.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .where(F.col("n_inter") * 1000 >= F.lit(threshold_milli) * F.col("n_union"))
+    )
+    return verified.select("id_a", "id_b", "n_inter", "n_union")
+
+
 def simhash_dedup(
     docs: DataFrame,
     *,

@@ -441,3 +441,98 @@ def tile_join(
     is an equi-join on pure Column arithmetic (north rule; no UDF)."""
     keyed = points_with_cell.withColumn(tile_col, grid_parent(F.col(cell_col), factor))
     return keyed.join(tiles, tile_col)
+
+
+# ---------------------------------------------------------------------------
+# temporal joins: as-of and range (interval) — single-shuffle patterns
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_cols: dict[str, str],
+    right_tie: str | None = None,
+) -> DataFrame:
+    """As-of join: each left row picks the latest right row with
+    ``right_time <= left_time`` for the same ``key`` (ties on right_time
+    broken by the largest ``right_tie``). Unmatched left rows keep nulls.
+
+    Scale path: the naive formulation (theta-join + row_number) shuffles a
+    fat |left|x|right-per-key| intermediate. This implementation instead
+    UNIONs both sides tagged, sorts once per key by (time, side, tie), and
+    forward-fills the right columns with ``last(..., ignorenulls)`` over an
+    unbounded-preceding window — ONE shuffle, linear intermediate, the same
+    pattern Flink/KDB use for as-of. At equal timestamps the right row sorts
+    first, giving the standard ``<=`` semantics.
+
+    ``right_cols`` maps output name -> right column name.
+    """
+    from pyspark.sql.window import Window
+
+    lt = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
+    r_sel = [F.col(key), F.col(right_time).alias("_t"), F.lit(0).alias("_side")]
+    r_sel += [F.col(src).alias(f"_r_{out}") for out, src in right_cols.items()]
+    order = [F.col("_t").asc(), F.col("_side").asc()]
+    if right_tie is not None:
+        r_sel.append(F.col(right_tie).alias("_tie"))
+        order.append(F.col("_tie").asc_nulls_first())
+    rt = right.select(*r_sel)
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *[F.col(c) for c in left.columns],
+        F.col("_side"),
+        *[
+            F.last(F.col(f"_r_{out}"), ignorenulls=True).over(w).alias(out)
+            for out in right_cols
+        ],
+    )
+    return filled.where(F.col("_side") == 1).drop("_side")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    key: str,
+    point_time: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval join: pairs every interval row with the points of the same
+    ``key`` whose ``point_time`` falls in ``[start_col, end_col)``.
+
+    Scale path: a raw range condition forces a theta-join (broadcast
+    nested-loop at cluster scale). Instead each interval explodes to the
+    epoch buckets it covers (``sequence`` — pure Column arithmetic, fan-out
+    = interval length / bucket), each point computes its single bucket, and
+    the join is an equi-join on (key, bucket) that Catalyst plans as a
+    hash join with AQE skew handling; the exact range predicate refines.
+    Each (interval, point) pair meets in exactly one bucket, so no
+    dedup pass is needed.
+    """
+    b = F.lit(int(bucket_seconds))
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / b),
+                F.floor(F.unix_timestamp(F.col(end_col)) / b),
+            )
+        ),
+    )
+    pt = points.withColumn("_bkt", F.floor(F.unix_timestamp(F.col(point_time)) / b))
+    joined = iv.join(pt, [key, "_bkt"]).where(
+        (F.col(point_time) >= F.col(start_col)) & (F.col(point_time) < F.col(end_col))
+    )
+    return joined.drop("_bkt")

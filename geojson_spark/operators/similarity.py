@@ -116,3 +116,43 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(q_id, v_id, "cosine", "rank")
     )
+
+
+def cosine_pairs_blocked(
+    vectors: DataFrame,
+    *,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.40,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within blocking-key groups.
+
+    Blocking (shard/source/label key) is the deterministic alternative to
+    LSH bucketing (``geojson_spark.operators.dedup.embedding_dedup``): the
+    candidate set is an equi-join on ``block_col`` — never a crossJoin —
+    and the exact cosine filter is Arrow-batched matrix math. Returns
+    (id_a, id_b, block) with id_a < id_b.
+    """
+    keyed = vectors.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+    )
+    pairs = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "block")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            "block",
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+    )
+    return (
+        pairs.withColumn("cosine", _cos_udf()(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.col("block"))
+    )

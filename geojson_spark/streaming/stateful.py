@@ -1,0 +1,109 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+``stateful_session_counts`` carries per-user session state across
+micro-batches: the state tuple (last event time, running event count,
+running session count) lets a gap-based sessionization continue over a
+batch boundary — the thing the batch window formulation
+(geojson_spark.operators.sessions) cannot do on an unbounded stream.
+
+The fold inside each batch is vectorized NumPy over the sorted event times
+(no per-row Python); state is O(1) per user. On a real cluster this scales
+with the number of distinct users per executor, and the HDFS-backed state
+store checkpoints it per micro-batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd  # noqa: F401 — resolves pandas-UDF type hints
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructType
+
+_OUT_SCHEMA = (
+    StructType()
+    .add("user_id", LongType())
+    .add("n_events", LongType())
+    .add("n_sessions", LongType())
+)
+_STATE_SCHEMA = (
+    StructType()
+    .add("last_ts_ns", LongType())
+    .add("n_events", LongType())
+    .add("n_sessions", LongType())
+)
+
+
+def _session_fold(gap_ns: int):
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            last_ts_ns, n_events, n_sessions = state.get
+        else:
+            last_ts_ns, n_events, n_sessions = None, 0, 0
+        ts_parts = []
+        for pdf in pdfs:
+            ts_parts.append(pdf["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64))
+        ts = np.sort(np.concatenate(ts_parts)) if ts_parts else np.empty(0, np.int64)
+        if ts.size:
+            prev = np.empty_like(ts)
+            # a missing last_ts means the first event always opens a session
+            prev[0] = last_ts_ns if last_ts_ns is not None else ts[0] - gap_ns - 1
+            prev[1:] = ts[:-1]
+            # new session when gap strictly exceeds gap_ns (matches the
+            # batch formulation ts > lag(ts) + INTERVAL gap)
+            n_sessions += int((ts - prev > gap_ns).sum())
+            n_events += int(ts.size)
+            last_ts_ns = int(ts[-1])
+        state.update((last_ts_ns, n_events, n_sessions))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n_events], "n_sessions": [n_sessions]}
+        )
+
+    return fold
+
+
+def stateful_session_counts(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
+    """Streaming DF (user_id, ts, ...) → running (n_events, n_sessions) per
+    user, sessions continuing across micro-batches. Use outputMode
+    'update'; counts are monotone so the latest row per user is the answer.
+    """
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+    typed = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    return typed.groupBy("user_id").applyInPandasWithState(
+        _session_fold(gap_ns),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_sessions(
+    spark,
+    events_dir: str,
+    *,
+    gap_minutes: int = 30,
+    query_name: str = "session_counts",
+    max_files_per_trigger: int = 1,
+):
+    """File-source stream (one file per micro-batch, so state genuinely
+    crosses batch boundaries) → stateful sessionize → memory sink."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(events_dir)
+    )
+    out = stateful_session_counts(stream, gap_minutes=gap_minutes)
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,325 @@
+"""Tests for the temporal joins (as-of, range), sessionization (batch +
+stateful streaming), set-similarity join, and ANN/embedding dedup paths.
+
+Strategy mirrors SURVEY.md §5: each optimized operator is checked against a
+naive-but-obviously-correct formulation on the same data (the reference's
+round-trip-equality style), plus invariant checks for the approximate paths
+(LSH recall on planted dups, IVF recall vs brute force).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_matches_naive(spark):
+    from geojson_spark.operators.joins import asof_join
+
+    ev = _events(spark).select("event_id", "user_id", "ts")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderkey",
+    )
+    fast = asof_join(
+        ev, orders, key="user_id", left_time="ts", right_time="o_orderdate",
+        right_cols={"o_orderkey": "o_orderkey"}, right_tie="o_orderkey",
+    ).select("event_id", "o_orderkey")
+
+    naive = (
+        ev.alias("e")
+        .join(orders.alias("o"), "user_id", "left")
+        .where(F.col("o.o_orderdate") <= F.col("e.ts"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_id").orderBy(
+                    F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("event_id", "o_orderkey")
+    )
+    f = {r.event_id: r.o_orderkey for r in fast.collect()}
+    n = {r.event_id: r.o_orderkey for r in naive.collect()}
+    # naive drops never-matched events (inner semantics after the filter);
+    # fast keeps them with null — compare on the matched set and check count
+    assert all(f[k] == v for k, v in n.items())
+    assert len(f) == ev.count()
+
+
+def test_asof_join_unmatched_is_null(spark):
+    from geojson_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": pd.to_datetime(["2024-01-01", "2024-06-01"])})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "rt": pd.to_datetime(["2024-03-01"]), "val": [7]})
+    )
+    out = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        right_cols={"val": "val"},
+    ).orderBy("t").collect()
+    assert out[0].val is None  # before any right row
+    assert out[1].val == 7
+
+
+# ---------------------------------------------------------------------------
+# range join
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_matches_theta(spark):
+    from geojson_spark.operators.joins import range_join
+
+    ev = _events(spark)
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("w_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    fast = range_join(
+        clicks, errors, key="user_id", point_time="ts",
+        start_col="w_start", end_col="w_end", bucket_seconds=600,
+    ).select("error_id", "click_id")
+    theta = (
+        errors.join(clicks, "user_id")
+        .where((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .select("error_id", "click_id")
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, theta.collect()))
+
+
+# ---------------------------------------------------------------------------
+# sessionization: batch vs pandas reference, and streaming state
+# ---------------------------------------------------------------------------
+
+
+def _ref_sessions(pdf: pd.DataFrame, gap_minutes: int) -> dict[int, int]:
+    out = {}
+    for uid, grp in pdf.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        ts = grp["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64)
+        gaps = np.diff(ts)
+        out[uid] = 1 + int((gaps > gap_minutes * 60 * 1_000_000_000).sum())
+    return out
+
+
+def test_sessionize_matches_reference(spark):
+    from geojson_spark.operators.sessions import sessionize
+
+    ev = _events(spark)
+    s = sessionize(ev, gap="30 minutes")
+    got = {
+        r.user_id: r.n_sessions
+        for r in s.groupBy("user_id").agg(F.max("session_id").alias("n_sessions")).collect()
+    }
+    ref = _ref_sessions(ev.select("user_id", "ts", "event_id").toPandas(), 30)
+    assert got == ref
+
+
+def test_stateful_streaming_sessions_match_batch(spark, tmp_path):
+    """Two micro-batches split by time — state must bridge the boundary."""
+    from geojson_spark.streaming.stateful import run_stateful_sessions
+
+    ev = _events(spark).select("event_id", "user_id", "ts").orderBy("ts")
+    pdf = ev.toPandas()
+    cut = pdf["ts"].quantile(0.5)
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    # one file per batch; alphabetical order matches time order
+    spark.createDataFrame(pdf[pdf.ts <= cut]).coalesce(1).write.parquet(str(d / "a_first"))
+    spark.createDataFrame(pdf[pdf.ts > cut]).coalesce(1).write.parquet(str(d / "b_second"))
+    # flatten: file source wants a single dir of files
+    import shutil
+
+    files = sorted(d.rglob("*.parquet"))
+    target = tmp_path / "flat"
+    target.mkdir()
+    for i, fp in enumerate(files):
+        shutil.copy(fp, target / f"{i:02d}.parquet")
+
+    q = run_stateful_sessions(spark, str(target), gap_minutes=30, query_name="t_sess")
+    q.awaitTermination(120)
+    got_df = spark.table("t_sess")
+    # update mode appends one row per (user, batch); counts are monotone
+    got = {
+        r.user_id: (r.n_events, r.n_sessions)
+        for r in got_df.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("n_sessions").alias("n_sessions"))
+        .collect()
+    }
+    ref_sessions = _ref_sessions(pdf, 30)
+    ref_events = pdf.groupby("user_id").size().to_dict()
+    assert {u: v[1] for u, v in got.items()} == ref_sessions
+    assert {u: v[0] for u, v in got.items()} == ref_events
+    # state genuinely crossed batches: >1 distinct update per some user
+    n_updates = got_df.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    assert n_updates >= 2
+
+
+# ---------------------------------------------------------------------------
+# set-similarity join (prefix filter) vs brute force
+# ---------------------------------------------------------------------------
+
+
+def test_set_similarity_join_matches_bruteforce(spark):
+    from geojson_spark.operators.dedup import set_similarity_join
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fast = set_similarity_join(docs, threshold_milli=400, k_shingle=3)
+    got = sorted((r.id_a, r.id_b, r.n_inter, r.n_union) for r in fast.collect())
+
+    pdf = docs.select("doc_id", "text").toPandas()
+
+    def sh3(t):
+        ws = t.split()
+        if len(ws) < 3:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {r.doc_id: sh3(r.text) for r in pdf.itertuples()}
+    ids = sorted(sets)
+    ref = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * 1000 >= 400 * union:
+                ref.append((a, b, inter, union))
+    assert got == sorted(ref)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup: LSH recall on planted dups; blocked pairs exactness
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_lsh_recall_on_planted_dups(spark):
+    from geojson_spark.operators.dedup import embedding_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((60, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # plant 20 near-dups: tiny perturbation of the first 20 vectors
+    dup = base[:20] + 0.02 * rng.standard_normal((20, 64))
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    vecs = np.vstack([base, dup])
+    pdf = pd.DataFrame(
+        {"vec_id": range(80), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_dedup(df, threshold=0.95, n_planes=12).collect()
+    }
+    sims = vecs @ vecs.T
+    expected = {
+        (i, j)
+        for i in range(80)
+        for j in range(i + 1, 80)
+        if sims[i, j] >= 0.95
+    }
+    assert expected, "test setup must plant dups"
+    recall = len(pairs & expected) / len(expected)
+    assert recall >= 0.95
+    assert pairs <= expected  # exact verify stage: no false positives
+
+
+def test_cosine_pairs_blocked_exact(spark):
+    from geojson_spark.operators.similarity import cosine_pairs_blocked
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = {(r.id_a, r.id_b) for r in cosine_pairs_blocked(emb, threshold=0.35).collect()}
+    pdf = emb.toPandas()
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    sims = V @ V.T
+    ids = pdf["vec_id"].to_numpy()
+    labels = pdf["label"].to_numpy()
+    ref = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if labels[i] == labels[j] and sims[i, j] >= 0.35
+    }
+    assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN recall vs brute force
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_recall(spark):
+    from geojson_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    C = train_centroids(emb, n_centroids=8)
+    exact = cosine_topk_bruteforce(queries, emb, 10)
+    approx = ivf_topk(queries, emb, 10, centroids=C, n_probe=3)
+    e = {(r.q_id, r.vec_id) for r in exact.collect()}
+    a = {(r.q_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6  # 3/8 lists probed; deterministic data and seed
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint parity
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_fingerprint_parity():
+    from geojson_spark.functions.text import rolling_fingerprint
+
+    def naive(text, window=64, mod=(1 << 31) - 1):
+        data = text.encode("utf-8")
+        if len(data) <= window:
+            h = 0
+            for c in data:
+                h = (h * 257 + c) % mod
+            return h
+        best = None
+        for i in range(len(data) - window + 1):
+            h = 0
+            for c in data[i : i + window]:
+                h = (h * 257 + c) % mod
+            best = h if best is None else min(best, h)
+        return best
+
+    rng = np.random.default_rng(3)
+    for n in (0, 5, 63, 64, 65, 200, 500):
+        t = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, n))
+        assert rolling_fingerprint(t) == naive(t), n
+    # identical documents fingerprint identically; appending text that
+    # doesn't change the min window keeps the fingerprint stable
+    t = "the quick brown fox jumps over the lazy dog " * 5
+    assert rolling_fingerprint(t) == rolling_fingerprint(t)
