@@ -38,6 +38,50 @@ GRID_SQL = (
 )
 
 
+def _hex_oracle_sql() -> str:
+    """DuckDB replica of the aperture-7 axial hex assignment (cells.py
+    hex_cell_id): same IEEE expression tree (constants embedded via repr for
+    shortest-round-trip exactness) and round_even to match np.round's
+    banker's rounding. Verified bit-exact vs NumPy on sf0.01."""
+    import numpy as np
+
+    a = repr(float(np.sqrt(3.0) / 3.0))
+    b = repr(1.0 / 3.0)
+    c = repr(2.0 / 3.0)
+    size = repr(30.0 * 7.0 ** (-4.5))  # HEX0_SIZE_DEG * 7^(-res/2), res=9
+    off = 1 << 27
+    lon, lat = derived_lonlat_sql("l_orderkey")
+    return f"""
+        WITH p AS (
+          SELECT {lon} AS lon, {lat} AS lat FROM lineitem
+        ), f AS (
+          SELECT ({a} * lon - {b} * lat) / {size} AS qf,
+                 ({c} * lat) / {size} AS rf FROM p
+        ), r0 AS (
+          SELECT qf, rf, -qf - rf AS sf,
+                 round_even(qf, 0) AS q0, round_even(rf, 0) AS r0,
+                 round_even(-qf - rf, 0) AS s0
+          FROM f
+        ), fx AS (
+          SELECT *, abs(q0-qf) AS dq, abs(r0-rf) AS dr, abs(s0-sf) AS ds FROM r0
+        ), q1t AS (
+          SELECT *, CASE WHEN dq > dr AND dq > ds THEN -r0-s0 ELSE q0 END AS q1 FROM fx
+        ), fin AS (
+          SELECT q1,
+                 CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds
+                      THEN -q1-s0 ELSE r0 END AS r1
+          FROM q1t
+        )
+        SELECT (9::BIGINT << 56) | ((q1::BIGINT + {off}) << 28) | (r1::BIGINT + {off})
+                 AS hex_id,
+               count(*) AS n_points
+        FROM fin GROUP BY 1
+    """
+
+
+_HEX_CELL_COUNTS_SQL = _hex_oracle_sql()
+
+
 def _attach(spark: SparkSession) -> None:
     from geojson_spark.session import attach_package
 
@@ -787,6 +831,28 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "hex_cell_counts": _HEX_CELL_COUNTS_SQL,
+        "lang_distribution": r"""
+            WITH w AS (
+              SELECT doc_id, list_distinct(list_transform(
+                  (list_filter(string_split_regex(text, '\s+'), x -> x <> ''))[1:200],
+                  x -> lower(x))) AS words
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                len(list_intersect(words, ['the','and','of','to','in','is','that','it','was','for'])) AS en,
+                len(list_intersect(words, ['der','die','und','das','ist','nicht','ein','mit','von','zu'])) AS de,
+                len(list_intersect(words, ['le','la','et','les','des','est','un','une','du','que'])) AS fr,
+                len(list_intersect(words, ['el','la','de','que','los','es','un','una','las','por'])) AS es
+              FROM w
+            )
+            SELECT CASE WHEN greatest(en,de,fr,es) = 0 THEN 'und'
+                        WHEN en = greatest(en,de,fr,es) THEN 'en'
+                        WHEN de = greatest(en,de,fr,es) THEN 'de'
+                        WHEN fr = greatest(en,de,fr,es) THEN 'fr'
+                        ELSE 'es' END AS pred_lang, count(*) AS n_docs
+            FROM h GROUP BY 1
         """,
         "shingle_jaccard": r"""
             WITH w AS (
