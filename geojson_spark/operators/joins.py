@@ -261,7 +261,7 @@ def knn_join(
     points: DataFrame,
     k: int,
     *,
-    ring: int = 2,
+    ring: int | str = "auto",
     cpd: int = 8,
     q_id: str = "q_id",
     p_id: str = "p_id",
@@ -283,11 +283,23 @@ def knn_join(
     distance ≤ the minimum possible distance to any point outside the ring.
     Queries failing the bound (or with <k candidates) are re-solved by
     brute force — an anti-joined, usually-empty residual.
+
+    ``ring="auto"`` sizes the ring from the measured global point density
+    so the expected candidate count is ~4k per query: a too-small ring
+    sends every query down the brute-force fallback (the ring join finds
+    <k candidates), which at cluster scale is the difference between an
+    equi-join and a crossJoin over the whole point table. The density probe
+    is one cheap count() (parquet row-group metadata).
     """
     from pyspark.sql.window import Window
 
-    deltas = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
-    delta_arr = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in deltas])
+    if ring == "auto":
+        n_points = points.count()
+        total_cells = (360 * cpd) * (180 * cpd)
+        density = max(n_points / total_cells, 1e-12)
+        # (2r+1)^2 * density >= 4k  =>  r >= (sqrt(4k/density) - 1) / 2
+        ring = int(np.ceil((np.sqrt(4.0 * k / density) - 1.0) / 2.0))
+        ring = max(1, min(ring, 24))
 
     q = queries.select(
         q_id,
@@ -296,15 +308,22 @@ def knn_join(
         F.floor((F.col(q_lon) + 180.0) * cpd).cast("bigint").alias("qgx"),
         F.floor((F.col(q_lat) + 90.0) * cpd).cast("bigint").alias("qgy"),
     )
-    q_exp = q.select(
-        q_id, q_lon, q_lat, "qgx", "qgy", F.explode(delta_arr).alias("d")
-    ).select(
-        q_id,
-        q_lon,
-        q_lat,
-        "qgx",
-        "qgy",
-        ((F.col("qgx") + F.col("d.dx")) * GRID_K + (F.col("qgy") + F.col("d.dy"))).alias("cell_id"),
+    # two sequence-explodes instead of a (2r+1)^2 literal array: plan size
+    # stays O(1) in the ring radius (auto rings can reach r~20)
+    ring_seq = F.sequence(F.lit(-ring), F.lit(ring))
+    q_exp = (
+        q.select(q_id, q_lon, q_lat, "qgx", "qgy", F.explode(ring_seq).alias("dx"))
+        .select(q_id, q_lon, q_lat, "qgx", "qgy", "dx", F.explode(ring_seq).alias("dy"))
+        .select(
+            q_id,
+            q_lon,
+            q_lat,
+            "qgx",
+            "qgy",
+            ((F.col("qgx") + F.col("dx")) * GRID_K + (F.col("qgy") + F.col("dy"))).alias(
+                "cell_id"
+            ),
+        )
     )
     p = points.select(
         p_id, p_lon, p_lat, grid_cell(F.col(p_lon), F.col(p_lat), cpd).alias("cell_id")
