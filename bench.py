@@ -42,6 +42,12 @@ HEADLINE = [
     "ann_topk",
     "minhash_near_dups",
     "s2_tile_rollup",
+    "shingle_jaccard",
+    "embedding_near_dups",
+    "asof_join",
+    "range_join",
+    "sessionize",
+    "hex_cell_counts",
 ]
 
 

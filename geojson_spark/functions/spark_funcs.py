@@ -114,3 +114,17 @@ def derived_lonlat_sql(key: str, prime_lon: int = 7919, prime_lat: int = 104729)
     lon = f"(({key} * {prime_lon}) % 360000) / 1000.0 - 180.0"
     lat = f"(({key} * {prime_lat}) % 170000) / 1000.0 - 85.0"
     return lon, lat
+
+
+def repartition_by_cell_prefix(
+    df, prefix: Column, num_partitions: int
+):
+    """North-rule 'explicit repartitioning by H3 prefix': hash-partition on
+    a coarse parent-cell expression (``s2_parent_col(cell, 7)``,
+    ``grid_parent(cell, 16)``, or a hex parent) so spatially adjacent fine
+    cells co-locate in one partition. Downstream per-tile aggregations and
+    tile↔cell joins then reuse this partitioning (Catalyst sees the
+    repartition as an existing hash distribution and elides its own
+    Exchange), which is what keeps the shuffle volume flat when the
+    executor count scales N→4N."""
+    return df.repartition(num_partitions, prefix)

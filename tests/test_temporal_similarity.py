@@ -323,3 +323,33 @@ def test_rolling_fingerprint_parity():
     # doesn't change the min window keeps the fingerprint stable
     t = "the quick brown fox jumps over the lazy dog " * 5
     assert rolling_fingerprint(t) == rolling_fingerprint(t)
+
+
+# ---------------------------------------------------------------------------
+# repartition by cell prefix (north-rule scaling lever)
+# ---------------------------------------------------------------------------
+
+
+def test_repartition_by_cell_prefix_colocates(spark):
+    from geojson_spark.functions.spark_funcs import (
+        grid_cell,
+        grid_parent,
+        repartition_by_cell_prefix,
+    )
+
+    pts = spark.range(0, 5000).select(
+        ((F.col("id") * 7919) % 360000 / 1000.0 - 180.0).alias("lon"),
+        ((F.col("id") * 104729) % 170000 / 1000.0 - 85.0).alias("lat"),
+    ).withColumn("cell_id", grid_cell(F.col("lon"), F.col("lat")))
+    out = repartition_by_cell_prefix(pts, grid_parent(F.col("cell_id"), 64), 8)
+    assert out.rdd.getNumPartitions() == 8
+    # every coarse prefix lands in exactly one partition (spatial locality)
+    spread = (
+        out.withColumn("part", F.spark_partition_id())
+        .withColumn("prefix", grid_parent(F.col("cell_id"), 64))
+        .groupBy("prefix")
+        .agg(F.countDistinct("part").alias("np"))
+        .agg(F.max("np"))
+        .collect()[0][0]
+    )
+    assert spread == 1
