@@ -353,3 +353,75 @@ def test_repartition_by_cell_prefix_colocates(spark):
         .collect()[0][0]
     )
     assert spread == 1
+
+
+# ---------------------------------------------------------------------------
+# streaming watermark: late data beyond the watermark is dropped
+# ---------------------------------------------------------------------------
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg: once the watermark has EVICTED window W's
+    state (the batch after the watermark passes W's end), a straggler for W
+    is dropped and W's emission stays final. (Spark's documented guarantee
+    is eviction-time dropping — a late row landing in the very batch that
+    evicts its window may still merge, so the straggler here arrives one
+    batch after eviction.)"""
+    import shutil
+
+    from geojson_spark.streaming.windows import windowed_cell_counts
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    def mk(ts_offsets_min, ids):
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "user_id": [1] * len(ids),
+                "ts": [base + pd.Timedelta(minutes=m) for m in ts_offsets_min],
+                "event_type": ["click"] * len(ids),
+                "value": [1.0] * len(ids),
+            }
+        )
+
+    d = tmp_path / "wm_in"
+    d.mkdir()
+    batches = [
+        mk([5, 10], [0, 1]),     # window 00:00 gets 2 on-time events
+        mk([200, 210], [2, 3]),  # watermark -> 03:00 for the NEXT batch
+        mk([260], [5]),          # watermark 03:00 in effect: evicts+emits 00:00
+        mk([15], [4]),           # straggler for 00:00 — must be dropped
+    ]
+    staging = tmp_path / "stage"
+    staging.mkdir()
+    for i, b in enumerate(batches):
+        out = staging / f"b{i}"
+        spark.createDataFrame(b).coalesce(1).write.parquet(str(out))
+        src = next(out.glob("*.parquet"))
+        shutil.copy(src, d / f"{i:02d}.parquet")
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d))
+    )
+    agg = windowed_cell_counts(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_wm")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_wm").collect()
+    first_window = [r for r in rows if r.window_start == base]
+    # 00:00 was finalized with exactly the 2 on-time events, once
+    assert len(first_window) == 1
+    assert first_window[0].n_events == 2
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1  # the straggler, and only the straggler
