@@ -609,6 +609,81 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete median (lower middle, id tie-break) of order price
+    per priority — window formulation identical on both sides."""
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority",
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("price_cents").asc(), F.col("o_orderkey").asc()
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wc))
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("o_orderpriority", F.col("price_cents").alias("median_cents"))
+    )
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority with one column per order status."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    p = orders.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property algebra over the dynamic JSON column (SURVEY §2.5 A1/A5 on
+    the events table): point lookup + aggregate of the extracted value."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_rect_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planar polygon area (shoelace over the flat geometry encoding) of the
+    nation rectangles, rounded to 1e-3 deg² for engine-exact comparison."""
+    from pyspark.sql.types import DoubleType
+
+    from geojson_spark.functions.geometry import polygon_area
+
+    polys = _nation_rects(spark, sf_dir)
+
+    @F.pandas_udf(DoubleType())
+    def _area(coords: pd.Series, rings: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            [polygon_area(np.asarray(c), np.asarray(r)) for c, r in zip(coords, rings)]
+        )
+
+    return polys.select(
+        "poly_id",
+        (F.round(_area(F.col("coords"), F.col("ring_offsets")) * 1000) / 1000).alias(
+            "area_deg2"
+        ),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (winnowing-lite) — rows-only check;
     parity vs a pure-Python reference is asserted in pytest."""
@@ -700,6 +775,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": wrap(q_sessionize),
         "cube": wrap(q_cube),
         "shipping_priority": wrap(q_shipping_priority),
+        "median_price": wrap(q_median_price),
+        "pivot_status": wrap(q_pivot_status),
+        "props_extract": wrap(q_props_extract),
+        "rect_areas": wrap(q_rect_areas),
         "doc_fingerprint": wrap(q_doc_fingerprint),
         "ann_ivf": wrap(q_ann_ivf),
     }
@@ -907,6 +986,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY revenue_cents DESC, o_orderkey ASC
             LIMIT 10
+        """,
+        "median_price": """
+            WITH t AS (
+              SELECT o_orderpriority, o_orderkey::BIGINT AS o_orderkey,
+                     cast(round(o_totalprice * 100) as bigint) AS price_cents,
+                     row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY cast(round(o_totalprice * 100) as bigint) ASC,
+                                o_orderkey ASC) AS rn,
+                     count(*) OVER (PARTITION BY o_orderpriority) AS n
+              FROM orders
+            )
+            SELECT o_orderpriority, price_cents AS median_cents
+            FROM t WHERE rn = (n + 1) // 2
+        """,
+        "pivot_status": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (o_orderstatus = 'F') AS n_f,
+                   count(*) FILTER (o_orderstatus = 'O') AS n_o,
+                   count(*) FILTER (o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY 1
+        """,
+        "props_extract": """
+            SELECT event_type, count(*) AS n_events,
+                   sum(cast(props->>'$.k' as bigint)) AS sum_k,
+                   min(cast(props->>'$.k' as bigint)) AS min_k,
+                   max(cast(props->>'$.k' as bigint)) AS max_k
+            FROM events GROUP BY 1
+        """,
+        "rect_areas": f"""
+            SELECT poly_id, round((x1 - x0) * (y1 - y0) * 1000) / 1000 AS area_deg2
+            FROM ({_NATION_RECTS_SQL})
         """,
         "hex_cell_counts": _HEX_CELL_COUNTS_SQL,
         "lang_distribution": r"""

@@ -116,3 +116,23 @@ def polygon_cover_cells(
     gx, gy = np.meshgrid(xs, ys)
     cells = cell_fn(gx.ravel(), gy.ravel())
     return np.unique(cells)
+
+
+def polygon_area(coords: np.ndarray, ring_offsets: np.ndarray) -> float:
+    """Planar (degree²) shoelace area of one polygon in the engine's flat
+    encoding: interleaved (x, y) in ``coords``, ring boundaries (in point
+    counts) in ``ring_offsets``. Ring 0 is the exterior; further rings are
+    holes and subtract (magnitude-based, winding-agnostic — matching the
+    reference's ring-role-by-position model, to_geo_types.rs:350-369)."""
+    coords = np.asarray(coords, dtype=np.float64)
+    ring_offsets = np.asarray(ring_offsets, dtype=np.int64)
+    total = 0.0
+    for r in range(len(ring_offsets) - 1):
+        lo, hi = 2 * ring_offsets[r], 2 * ring_offsets[r + 1]
+        x = coords[lo:hi:2]
+        y = coords[lo + 1 : hi : 2]
+        if len(x) < 3:
+            continue
+        a = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+        total += a if r == 0 else -a
+    return float(total)
