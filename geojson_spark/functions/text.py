@@ -159,3 +159,58 @@ def rolling_fingerprint(text: str, window: int = 64, mod: int = (1 << 31) - 1) -
     for i in range(1, n):
         hashes[i] = ((hashes[i - 1] - arr[i - 1] * top) * 257 + arr[i + window - 1]) % mod
     return int(hashes.min() % mod)
+
+
+def minhash_signatures_batch(
+    texts, n_hashes: int = 64, k: int = 5, chunk: int = 16
+) -> np.ndarray:
+    """Batch MinHash: same values as ``minhash_signature`` per text, but
+    vectorized across the whole Arrow batch — shingles of all docs are
+    flattened, unique shingles hashed once, and the per-doc column minima
+    come from ``np.minimum.reduceat`` over segment bounds. ``chunk`` bounds
+    the remix matrix to (total_shingles × chunk) to cap memory."""
+    all_sh: list[str] = []
+    bounds = [0]
+    for t in texts:
+        all_sh.extend(shingles(t or "", k))
+        bounds.append(len(all_sh))
+    n_docs = len(texts)
+    out = np.zeros((n_docs, n_hashes), dtype=np.int64)
+    if not all_sh:
+        return out
+    uniq, inv = np.unique(np.asarray(all_sh, dtype=object), return_inverse=True)
+    base = np.array([_hash64_str(s) for s in uniq], dtype=np.uint64)[inv]
+    starts = np.asarray(bounds[:-1], dtype=np.int64)
+    sizes = np.diff(bounds)
+    nonempty = sizes > 0
+    idx_all = np.arange(1, n_hashes + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c0 in range(0, n_hashes, chunk):
+            idx = idx_all[c0 : c0 + chunk]
+            a = idx * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+            b = idx * np.uint64(0xC2B2AE3D27D4EB4F)
+            remix = base[:, None] * a[None, :] + b[None, :]
+            mins = np.minimum.reduceat(remix, starts[nonempty], axis=0)
+            out[nonempty, c0 : c0 + len(idx)] = mins.astype(np.int64)
+    return out
+
+
+def minhash_bands_batch(sigs: np.ndarray, n_bands: int = 16) -> np.ndarray:
+    """Batch LSH band keys: same values as ``minhash_bands`` row-wise, FNV
+    fold vectorized over (n_docs, n_bands) with the rows-per-band loop as
+    the only Python iteration (rows = n_hashes // n_bands, typically 4)."""
+    S = np.asarray(sigs, dtype=np.uint64)
+    n, n_hashes = S.shape
+    rows = n_hashes // n_bands
+    chunks = S[:, : n_bands * rows].reshape(n, n_bands, rows)
+    with np.errstate(over="ignore"):
+        h = np.broadcast_to(
+            np.uint64(0xCBF29CE484222325) + np.arange(n_bands, dtype=np.uint64),
+            (n, n_bands),
+        ).copy()
+        for r in range(rows):
+            h = (h ^ chunks[:, :, r]) * np.uint64(0x100000001B3)
+        tagged = (h & np.uint64(0x7FFFFFFFFFFFFFFF)) | (
+            np.arange(n_bands, dtype=np.uint64)[None, :] << np.uint64(56)
+        )
+    return tagged.astype(np.int64)

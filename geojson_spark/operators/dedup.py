@@ -92,10 +92,23 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to default parallelism when the input arrives in
+    fewer partitions (small files): the Python-UDF stages downstream run
+    one task per partition, so a 1-partition scan would serialize the whole
+    signature computation on one core. On a real cluster inputs already
+    arrive well-partitioned and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _minhash_udf(n_hashes: int, k: int):
     @F.pandas_udf(ArrayType(LongType()))
     def _mh(texts: pd.Series) -> pd.Series:
-        return pd.Series([T.minhash_signature(t or "", n_hashes, k) for t in texts])
+        sigs = T.minhash_signatures_batch(list(texts), n_hashes, k)
+        return pd.Series(list(sigs))
 
     return _mh
 
@@ -103,7 +116,8 @@ def _minhash_udf(n_hashes: int, k: int):
 def _bands_udf(n_bands: int):
     @F.pandas_udf(ArrayType(LongType()))
     def _bd(sigs: pd.Series) -> pd.Series:
-        return pd.Series([T.minhash_bands(list(s), n_bands) for s in sigs])
+        mat = np.stack([np.asarray(s, dtype=np.int64) for s in sigs])
+        return pd.Series(list(T.minhash_bands_batch(mat, n_bands)))
 
     return _bd
 
@@ -127,27 +141,24 @@ def minhash_lsh_candidates(
     n_bands: int = 16,
     k_shingle: int = 5,
 ) -> DataFrame:
-    """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket."""
-    sigs = docs.select(
+    """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    Only (id, band_key) rows enter the self-join — document text never
+    crosses a shuffle (at web scale the band join moves ids, not payloads).
+    """
+    sigs = _spread(docs).select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("txt"),
         _bands_udf(n_bands)(_minhash_udf(n_hashes, k_shingle)(F.col(text_col))).alias("bands"),
     )
-    exploded = sigs.select("id", "txt", F.explode("bands").alias("band_key"))
+    exploded = sigs.select("id", F.explode("bands").alias("band_key"))
     a = exploded.alias("a")
     b = exploded.alias("b")
-    pairs = (
+    return (
         a.join(b, "band_key")
         .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.txt").alias("txt_a"),
-            F.col("b.txt").alias("txt_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
 
 
 def minhash_lsh_dedup(
@@ -160,14 +171,36 @@ def minhash_lsh_dedup(
     n_bands: int = 16,
     k_shingle: int = 5,
 ) -> DataFrame:
-    """Near-dup pairs with exact Jaccard ≥ threshold: (id_a, id_b, jaccard)."""
+    """Near-dup pairs with exact Jaccard ≥ threshold: (id_a, id_b, jaccard).
+
+    Exact verification is JVM-side: candidate id pairs join back the
+    distinct-shingle arrays (lowercased k-word shingles, same set
+    ``minhash_signature`` hashes) and Jaccard = |∩| / |∪| via
+    ``array_intersect`` — no per-pair Python, whole-stage codegen.
+    """
     pairs = minhash_lsh_candidates(
         docs, id_col=id_col, text_col=text_col, n_hashes=n_hashes,
         n_bands=n_bands, k_shingle=k_shingle,
     )
-    verified = pairs.withColumn(
-        "jaccard", _jaccard_udf(k_shingle)(F.col("txt_a"), F.col("txt_b"))
-    ).where(F.col("jaccard") >= threshold)
+    low = docs.withColumn(text_col, F.lower(F.col(text_col)))
+    sized = _shingle_sets(low, id_col, text_col, k_shingle).withColumn("n", F.size("sh"))
+    verified = (
+        pairs.join(
+            sized.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sized.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")),
+            "id_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / F.greatest(F.lit(1), F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
     return verified.select("id_a", "id_b", "jaccard")
 
 
@@ -304,7 +337,7 @@ def simhash_dedup(
     def _sh(texts: pd.Series) -> pd.Series:
         return pd.Series([T.simhash64(t or "") for t in texts])
 
-    hashed = docs.select(F.col(id_col).alias("id"), _sh(F.col(text_col)).alias("simhash"))
+    hashed = _spread(docs).select(F.col(id_col).alias("id"), _sh(F.col(text_col)).alias("simhash"))
     chunks = hashed.select(
         "id",
         "simhash",
