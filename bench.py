@@ -77,6 +77,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
     import __spark_entry__ as E
 
     spark = _new_session(cpus, "headline")
+    _warm_python_workers(spark, cpus)  # long-running executors are warm
     qs = E.queries()
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -129,30 +129,38 @@ def cosine_pairs_blocked(
     """Embedding-cosine near-dup pairs within blocking-key groups.
 
     Blocking (shard/source/label key) is the deterministic alternative to
-    LSH bucketing (``geojson_spark.operators.dedup.embedding_dedup``): the
-    candidate set is an equi-join on ``block_col`` — never a crossJoin —
-    and the exact cosine filter is Arrow-batched matrix math. Returns
-    (id_a, id_b, block) with id_a < id_b.
+    LSH bucketing (``geojson_spark.operators.dedup.embedding_dedup``).
+    Implementation is ``applyInPandas`` per block: one shuffle on the block
+    key, then the whole block's pairwise cosines come from a single BLAS
+    matrix product (n×d @ d×n) instead of materializing n²/2 pair rows
+    through a join — ~100× less data movement and flops amortized.
+    Per-block memory is O(n_block²); at cluster scale blocks are
+    shards/sources, bounded by construction. Returns (id_a, id_b, block),
+    id_a < id_b.
     """
-    keyed = vectors.select(
-        F.col(block_col).alias("block"),
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructType
+
+    out_schema = (
+        StructType().add("id_a", LongType()).add("id_b", LongType()).add("block", LongType())
     )
-    pairs = (
-        keyed.alias("a")
-        .join(keyed.alias("b"), "block")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            "block",
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].iloc[order]])
+        norms = np.sqrt((V * V).sum(axis=1))
+        norms[norms == 0] = 1.0
+        sims = (V / norms[:, None]) @ (V / norms[:, None]).T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        blk = np.int64(pdf[block_col].iloc[0])
+        return pd.DataFrame(
+            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "block": blk}
         )
+
+    keyed = vectors.select(
+        F.col(block_col).cast("long").alias(block_col), id_col, vec_col
     )
-    return (
-        pairs.withColumn("cosine", _cos_udf()(F.col("va"), F.col("vb")))
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.col("block"))
-    )
+    return keyed.groupBy(block_col).applyInPandas(block_pairs, out_schema)
