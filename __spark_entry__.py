@@ -609,6 +609,33 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-type coverage: per-nation counts of customers WITH orders
+    (left_semi) and WITHOUT orders (left_anti) side by side."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    with_o = (
+        cust.join(orders, "c_custkey", "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+    without_o = (
+        cust.join(orders, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+    return (
+        with_o.join(without_o, "c_nationkey", "full_outer")
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
 def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete median (lower middle, id tie-break) of order price
     per priority — window formulation identical on both sides."""
@@ -775,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": wrap(q_sessionize),
         "cube": wrap(q_cube),
         "shipping_priority": wrap(q_shipping_priority),
+        "semi_anti": wrap(q_semi_anti),
         "median_price": wrap(q_median_price),
         "pivot_status": wrap(q_pivot_status),
         "props_extract": wrap(q_props_extract),
@@ -986,6 +1014,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY revenue_cents DESC, o_orderkey ASC
             LIMIT 10
+        """,
+        "semi_anti": """
+            WITH w AS (
+              SELECT c_nationkey, count(*) AS n_with_orders
+              FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+              GROUP BY 1
+            ), wo AS (
+              SELECT c_nationkey, count(*) AS n_without_orders
+              FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+              GROUP BY 1
+            )
+            SELECT coalesce(w.c_nationkey, wo.c_nationkey)::BIGINT AS c_nationkey,
+                   coalesce(n_with_orders, 0) AS n_with_orders,
+                   coalesce(n_without_orders, 0) AS n_without_orders
+            FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey
         """,
         "median_price": """
             WITH t AS (
