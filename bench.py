@@ -90,16 +90,22 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
     return times
 
 
-def tiling_job(spark, images_path: str) -> int:
+def tiling_job(spark, images_path: str, ckpt_dir: str | None = None) -> int:
     """The north-star pipeline: verify per-row invariants (decode + PSNR +
     caption + phash — BASELINE.json), S2-assign every image, PIP-join to
-    hotspot polygons, salted per-polygon agg + level-7 tile rollup."""
+    hotspot polygons, salted per-polygon agg + level-7 tile rollup.
+
+    With ``ckpt_dir`` set, per-partition lineage (stage, partition_id,
+    rows) of the assignment stage lands in the checkpoint table's lineage
+    area (north rule: 'all stages write per-partition lineage + row-count
+    metrics'), reusing the cached assignment so the extra pass is cheap."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     from geojson_spark.functions.spark_funcs import s2_cell_udf, s2_parent_col
     from geojson_spark.operators.agg import salted_agg
     from geojson_spark.operators.joins import pip_join
+    from geojson_spark.plans.checkpoint import partition_metrics
     from geojson_spark.sources.images import HOTSPOTS, verify_invariants
 
     full = spark.read.parquet(images_path)
@@ -139,6 +145,10 @@ def tiling_job(spark, images_path: str) -> int:
     rows = [(r.metric, r.value) for r in bad.unionByName(counts).unionByName(tiles).collect()]
     n_bad = sum(v for m, v in rows if m == "bad_invariants")
     assert n_bad == 0, f"{n_bad} rows violated decode/caption/phash invariants"
+    if ckpt_dir is not None:
+        partition_metrics(assigned, "s2_assign").write.mode("append").parquet(
+            os.path.join(ckpt_dir, "lineage_s2_assign")
+        )
     assigned.unpersist()
     return int(sum(v for m, v in rows if m != "bad_invariants"))
 
@@ -193,11 +203,15 @@ def run_scaling(n_images: int) -> dict[str, float]:
         for p in (p_lo, p_hi):
             spark = _new_session(p, f"tile{p}")
             _warm_python_workers(spark, p)
+            ckpt_dir = os.path.join(tmp, f"ckpt{p}")
             t0 = time.time()
-            tiling_job(spark, images_path)
+            tiling_job(spark, images_path, ckpt_dir=ckpt_dir)
             wall = time.time() - t0
             out[f"images_tiled_per_sec@local[{p}]"] = round(n_images / wall, 1)
             out[f"tiling_sec@local[{p}]"] = round(wall, 2)
+            lineage = spark.read.parquet(os.path.join(ckpt_dir, "lineage_s2_assign"))
+            out[f"lineage_partitions@local[{p}]"] = lineage.count()
+            assert lineage.agg({"rows": "sum"}).collect()[0][0] == n_images
             spark.stop()
         thr_lo = out[f"images_tiled_per_sec@local[{p_lo}]"]
         thr_hi = out[f"images_tiled_per_sec@local[{p_hi}]"]
