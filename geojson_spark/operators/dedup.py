@@ -319,42 +319,37 @@ def set_similarity_join(
     return verified.select("id_a", "id_b", "n_inter", "n_union")
 
 
-def simhash_dedup(
-    docs: DataFrame,
+def hamming_pairs(
+    hashed: DataFrame,
     *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    id_col: str = "id",
+    hash_col: str = "hash",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ max_hamming).
+    """All pairs of 64-bit hashes within Hamming distance ``max_hamming``.
 
-    Pigeonhole bucketing: split the 64-bit hash into 4 × 16-bit chunks —
-    any pair within Hamming distance 3 shares at least one exact chunk, so
-    candidates come from 4 equi-joins, never a crossJoin.
+    Pigeonhole bucketing: the 64 bits split into ``max_hamming + 1``
+    contiguous chunks — any pair with ≤ max_hamming differing bits must
+    share at least one exact chunk, so candidates come from chunk
+    equi-joins, never a crossJoin. Verification is JVM ``bit_count(xor)``;
+    the whole operator is pure Column ops. Returns (id_a, id_b, hamming).
     """
-
-    @F.pandas_udf(LongType())
-    def _sh(texts: pd.Series) -> pd.Series:
-        return pd.Series([T.simhash64(t or "") for t in texts])
-
-    hashed = _spread(docs).select(F.col(id_col).alias("id"), _sh(F.col(text_col)).alias("simhash"))
-    chunks = hashed.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_no"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk"),
-                    )
-                    for i in range(4)
-                ]
+    n_chunks = max_hamming + 1
+    bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
+    keyed = hashed.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+    chunk_structs = []
+    for i in range(n_chunks):
+        lo, width = bounds[i], bounds[i + 1] - bounds[i]
+        mask = (1 << width) - 1
+        chunk_structs.append(
+            F.struct(
+                F.lit(i).alias("chunk_no"),
+                F.shiftrightunsigned(F.col("h"), lo).bitwiseAND(F.lit(mask)).alias("chunk"),
             )
-        ).alias("c"),
-    ).select("id", "simhash", "c.chunk_no", "c.chunk")
+        )
+    chunks = keyed.select(
+        "id", "h", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("id", "h", "c.chunk_no", "c.chunk")
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (
@@ -363,20 +358,54 @@ def simhash_dedup(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-
-    @F.pandas_udf(LongType())
-    def _ham(x: pd.Series, y: pd.Series) -> pd.Series:
-        return pd.Series(T.hamming64(x.to_numpy(np.int64), y.to_numpy(np.int64)))
-
     return (
-        cand.withColumn("hamming", _ham(F.col("sh_a"), F.col("sh_b")))
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("bigint")
+        )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ max_hamming): 64-bit SimHash over
+    word unigrams+bigrams, then ``hamming_pairs`` pigeonhole join."""
+
+    @F.pandas_udf(LongType())
+    def _sh(texts: pd.Series) -> pd.Series:
+        return pd.Series([T.simhash64(t or "") for t in texts])
+
+    hashed = _spread(docs).select(F.col(id_col).alias("id"), _sh(F.col(text_col)).alias("simhash"))
+    return hamming_pairs(hashed, id_col="id", hash_col="simhash", max_hamming=max_hamming)
+
+
+def phash_near_dups(
+    images: DataFrame,
+    *,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Perceptual-hash near-dup pairs over the image+caption table
+    (north-rule input_hint schema): the stored 64-bit pHash goes straight
+    through the pigeonhole Hamming join — no pixel decode on the join
+    path, so this runs at catalog speed on 10^12 rows."""
+    return hamming_pairs(
+        images.select(id_col, phash_col),
+        id_col=id_col,
+        hash_col=phash_col,
+        max_hamming=max_hamming,
     )
 
 

@@ -425,3 +425,46 @@ def test_watermark_drops_late_events(spark, tmp_path):
         for p in q.recentProgress
     )
     assert dropped == 1  # the straggler, and only the straggler
+
+
+# ---------------------------------------------------------------------------
+# pHash near-dup over the image table (pigeonhole Hamming join)
+# ---------------------------------------------------------------------------
+
+
+def test_phash_near_dups_matches_bruteforce(spark):
+    from geojson_spark.operators.dedup import phash_near_dups
+    from geojson_spark.sources.images import generate_images
+
+    imgs = generate_images(spark, 300, partitions=4).select("image_id", "phash")
+    pdf = imgs.toPandas()
+    # plant near-dups: copies of the first 20 images with 0-2 phash bits flipped
+    rng = np.random.default_rng(11)
+    planted = pdf.head(20).copy()
+    planted["image_id"] = planted["image_id"] + "_dup"
+    flips = rng.integers(0, 3, 20)
+    ph = planted["phash"].to_numpy(np.int64).copy()
+    for i, nf in enumerate(flips):
+        for b in rng.choice(64, int(nf), replace=False):
+            ph[i] ^= np.int64(1) << np.int64(b)
+    planted["phash"] = ph
+    allimg = spark.createDataFrame(pd.concat([pdf, planted], ignore_index=True))
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_near_dups(allimg, max_hamming=6).collect()
+    }
+    # brute force reference
+    arr = pd.concat([pdf, planted], ignore_index=True)
+    ids = arr["image_id"].to_list()
+    hs = arr["phash"].to_numpy(np.int64)
+    ref = set()
+    for i in range(len(ids)):
+        x = np.uint64(hs[i].astype(np.uint64)) ^ hs[i + 1 :].astype(np.uint64)
+        hams = np.array([bin(int(v)).count("1") for v in x])
+        for j, h in enumerate(hams):
+            if h <= 6:
+                a, b = sorted((ids[i], ids[i + 1 + j]))
+                ref.add((a, b, int(h)))
+    assert got == ref
+    assert len(got) >= 20  # every planted dup found
