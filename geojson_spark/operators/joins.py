@@ -207,9 +207,16 @@ def pip_join(
     ``polygons`` must carry ``poly_id``, ``coords``, ``ring_offsets``,
     ``dim``, ``bbox`` (array<double> [minx,miny,maxx,maxy]). Returns points'
     columns + ``poly_id``, one row per (point, containing polygon).
+
+    ``broadcast_polygons=None`` (default) decides adaptively (north rule
+    'adaptive broadcast of small polygon sides'): one cheap count() probe
+    of the polygon table — ≤ ``broadcast_max_polys`` rows broadcast the
+    exploded cover (points never shuffle); larger polygon sides fall back
+    to a shuffled equi-join where AQE's skew-join splitting applies.
     """
+    broadcast_max_polys = 100_000  # × ~cover keys/poly ≈ autoBroadcast budget
     if broadcast_polygons is None:
-        broadcast_polygons = True  # caller passes False for huge polygon sides
+        broadcast_polygons = polygons.count() <= broadcast_max_polys
 
     poly_cols = ["poly_id", "coords", "ring_offsets", "dim"]
 
