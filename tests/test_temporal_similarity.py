@@ -468,3 +468,70 @@ def test_phash_near_dups_matches_bruteforce(spark):
                 ref.add((a, b, int(h)))
     assert got == ref
     assert len(got) >= 20  # every planted dup found
+
+
+# ---------------------------------------------------------------------------
+# streaming restart: checkpointLocation resumes without double counting
+# ---------------------------------------------------------------------------
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Run a stateful stream over batch 1, stop it, add batch 2, restart
+    with the same checkpointLocation: counts must cover both batches
+    exactly once (state + source offsets restored)."""
+    import shutil
+
+    from geojson_spark.streaming.stateful import stateful_session_counts
+
+    ev = _events(spark).select("event_id", "user_id", "ts").orderBy("ts")
+    pdf = ev.toPandas()
+    cut = pdf["ts"].quantile(0.5)
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    staging = tmp_path / "stage"
+
+    def add_file(df, name):
+        out = staging / name
+        spark.createDataFrame(df).coalesce(1).write.parquet(str(out))
+        shutil.copy(next(out.glob("*.parquet")), src / f"{name}.parquet")
+
+    schema = spark.createDataFrame(pdf.head(2)).schema
+    outdir = str(tmp_path / "out")
+
+    def run_once():
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        out = stateful_session_counts(stream, gap_minutes=30)
+
+        def write_batch(df, _epoch):
+            df.write.mode("append").parquet(outdir)
+
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    add_file(pdf[pdf.ts <= cut], "b0")
+    run_once()
+    add_file(pdf[pdf.ts > cut], "b1")
+    run_once()
+
+    # If the restart re-read batch-1 files, per-user event totals in the
+    # update stream would exceed the reference (state would double-count).
+    # Exact equality of max(n_events)/max(n_sessions) proves offsets AND
+    # operator state were both restored from the checkpoint.
+    got = {
+        r.user_id: (r.n_events, r.n_sessions)
+        for r in spark.read.parquet(outdir)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("n_sessions").alias("n_sessions"))
+        .collect()
+    }
+    ref_sessions = _ref_sessions(pdf, 30)
+    ref_events = pdf.groupby("user_id").size().to_dict()
+    assert got == {u: (ref_events[u], ref_sessions[u]) for u in ref_events}
