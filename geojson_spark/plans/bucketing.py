@@ -1,0 +1,45 @@
+"""Bucketed (co-located) joins — the shuffle-elimination lever for big
+fact-to-fact joins.
+
+Spark's bucketing writes each table pre-hash-partitioned on the join key
+into a fixed number of buckets. When both sides of an equi-join are
+bucketed on the key with the same bucket count, the join needs NO Exchange
+at all: each task zips bucket i of both tables. At the 100 TB design point
+this converts the biggest recurring shuffle (e.g. lineitem ⋈ orders, or
+image-cells ⋈ tile-metadata on cell prefix) into a scan-side merge — pay
+the shuffle once at write time, reuse it for every subsequent join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    *,
+    bucket_col: str,
+    n_buckets: int,
+    path: str,
+    sort_col: str | None = None,
+) -> None:
+    """Persist ``df`` as an external bucketed table at ``path``.
+
+    ``sort_col`` additionally sorts within buckets (enables sort-merge
+    without a per-task sort). Overwrites any existing table of that name.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    w = df.write.mode("overwrite").option("path", path).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str
+) -> DataFrame:
+    """Equi-join two same-bucketed tables; with matching bucket specs the
+    physical plan contains no Exchange (verify with .explain)."""
+    return spark.table(left_table).join(spark.table(right_table), on)
