@@ -491,3 +491,65 @@ def write_geojson(df: DataFrame, path: str, feature_col: str = "feature_json") -
             os.remove(tmp)
 
     out.foreachPartition(write_partition)
+
+
+def explode_geometry_collections(df, geometry_col: str = "geometry", *, recursive: bool = True):
+    """Unnest GeometryCollection rows to one row per child geometry.
+
+    Non-collection rows pass through with ``child_idx`` -1; collection rows
+    explode to their children (``recursive=True`` also flattens nested
+    collections, matching the reference's GeoJson → geo GeometryCollection
+    flattening, src/conversion/to_geo_types.rs:240-272). Lets PIP/kNN/tile
+    operators — defined over concrete geometries — run on tables that
+    contain collections.
+    """
+    import json as _json
+
+    from pyspark.sql.types import ArrayType as _Arr
+    from pyspark.sql.types import IntegerType as _Int
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    from geojson_spark.schema import GEOMETRY_STRUCT
+
+    child_schema = _ST(
+        [_SF("child_idx", _Int())] + [_SF(f.name, f.dataType) for f in GEOMETRY_STRUCT.fields]
+    )
+
+    @F.pandas_udf(_Arr(child_schema))
+    def _children(geoms_json: pd.Series) -> pd.Series:
+        from geojson_spark.functions.geojson_codec import parse_geometry_obj
+
+        out = []
+        for gj in geoms_json:
+            if gj is None:
+                out.append([])
+                continue
+            children, queue = [], list(_json.loads(gj))
+            while queue:
+                parsed = parse_geometry_obj(queue.pop(0))
+                if recursive and parsed["geom_type"] == "GeometryCollection":
+                    queue[:0] = _json.loads(parsed["geoms_json"])
+                else:
+                    children.append({"child_idx": len(children), **parsed})
+            out.append(children)
+        return pd.Series(out)
+
+    g = F.col(geometry_col)
+    is_gc = g["geom_type"] == "GeometryCollection"
+    plain = df.where(~is_gc | g["geom_type"].isNull()).withColumn(
+        "child_idx", F.lit(-1)
+    )
+    gc = (
+        df.where(is_gc)
+        .withColumn("_child", F.explode(_children(g["geoms_json"])))
+        .withColumn("child_idx", F.col("_child.child_idx"))
+        .withColumn(
+            geometry_col,
+            F.struct(
+                *[F.col(f"_child.{f.name}").alias(f.name) for f in GEOMETRY_STRUCT.fields]
+            ),
+        )
+        .drop("_child")
+    )
+    return plain.unionByName(gc)

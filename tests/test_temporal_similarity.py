@@ -579,3 +579,52 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.sql("DROP TABLE IF EXISTS t_li_b")
         spark.sql("DROP TABLE IF EXISTS t_ord_b")
+
+
+# ---------------------------------------------------------------------------
+# GeometryCollection flattening (reference C7 semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_explode_geometry_collections(spark, tmp_path):
+    import json
+
+    from geojson_spark.sources.geojson import explode_geometry_collections, read_geojson
+
+    doc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": None,
+             "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}},
+            {"type": "Feature", "properties": None,
+             "geometry": {
+                 "type": "GeometryCollection",
+                 "geometries": [
+                     {"type": "Point", "coordinates": [3.0, 4.0]},
+                     {"type": "LineString", "coordinates": [[0.0, 0.0], [1.0, 1.0]]},
+                     {"type": "GeometryCollection", "geometries": [
+                         {"type": "Point", "coordinates": [9.0, 9.0]}]},
+                 ],
+             }},
+            {"type": "Feature", "properties": None, "geometry": None},
+        ],
+    }
+    p = tmp_path / "gc.geojson"
+    p.write_text(json.dumps(doc))
+    df = read_geojson(spark, str(p))
+    out = explode_geometry_collections(df).select(
+        "feature_idx", "child_idx", "geometry.geom_type", "geometry.coords"
+    )
+    rows = sorted(
+        ((r.feature_idx, r.child_idx, r.geom_type, list(r.coords) if r.coords else []))
+        for r in out.collect()
+    )
+    # feature 0 (plain point) and feature 2 (null geometry) pass through;
+    # feature 1 explodes to 3 concrete children (nested GC flattened)
+    assert rows == [
+        (0, -1, "Point", [1.0, 2.0]),
+        (1, 0, "Point", [3.0, 4.0]),
+        (1, 1, "LineString", [0.0, 0.0, 1.0, 1.0]),
+        (1, 2, "Point", [9.0, 9.0]),
+        (2, -1, None, []),
+    ]
