@@ -628,3 +628,59 @@ def test_explode_geometry_collections(spark, tmp_path):
         (1, 2, "Point", [9.0, 9.0]),
         (2, -1, None, []),
     ]
+
+
+# ---------------------------------------------------------------------------
+# randomized end-to-end PIP join vs brute force (cover + join + refine)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("index", ["grid", "s2"])
+def test_pip_join_random_polygons_matches_bruteforce(spark, index):
+    """Seeded random star polygons (concave) + uniform points: the full
+    pip_join pipeline must equal brute-force ray casting over every
+    (point, polygon) pair — catches cover under-approximation bugs that
+    the rectangle oracle queries cannot."""
+    from geojson_spark.functions.geometry import points_in_polygon
+    from geojson_spark.operators.joins import pip_join
+
+    rng = np.random.default_rng(1234)
+    n_pts, n_polys = 4000, 12
+    px = rng.uniform(-60, 60, n_pts)
+    py = rng.uniform(-40, 40, n_pts)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"p_id": np.arange(n_pts), "lon": px, "lat": py})
+    )
+
+    polys, ref_pairs = [], set()
+    for pid in range(n_polys):
+        cx, cy = rng.uniform(-50, 50), rng.uniform(-30, 30)
+        n_v = int(rng.integers(5, 12))
+        angles = np.sort(rng.uniform(0, 2 * np.pi, n_v))
+        radii = rng.uniform(1.0, 8.0, n_v)  # varying radius -> concave stars
+        xs = cx + radii * np.cos(angles)
+        ys = cy + radii * np.sin(angles)
+        ring = np.column_stack([np.append(xs, xs[0]), np.append(ys, ys[0])])
+        coords = ring.ravel().tolist()
+        polys.append(
+            {
+                "poly_id": pid,
+                "coords": coords,
+                "ring_offsets": [0, len(ring)],
+                "part_offsets": [0, 1],
+                "dim": 2,
+                "bbox": [float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())],
+            }
+        )
+        inside = points_in_polygon(
+            px, py, np.asarray(coords), np.asarray([0, len(ring)], dtype=np.int64), 2
+        )
+        ref_pairs.update((int(i), pid) for i in np.nonzero(inside)[0])
+
+    polys_df = spark.createDataFrame(pd.DataFrame(polys))
+    got = {
+        (r.p_id, r.poly_id)
+        for r in pip_join(pts, polys_df, index=index).select("p_id", "poly_id").collect()
+    }
+    assert got == ref_pairs
+    assert len(ref_pairs) > 50  # sanity: the scenario is non-trivial
