@@ -122,16 +122,6 @@ def _bands_udf(n_bands: int):
     return _bd
 
 
-def _jaccard_udf(k: int):
-    @F.pandas_udf(DoubleType())
-    def _jc(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [T.jaccard(T.shingles(x or "", k), T.shingles(y or "", k)) for x, y in zip(a, b)]
-        )
-
-    return _jc
-
-
 def minhash_lsh_candidates(
     docs: DataFrame,
     *,
