@@ -711,6 +711,49 @@ def q_rect_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus filter: keep docs that are (a) the exact-
+    dedup keeper of their content, (b) quality score ≥ 0.5, (c) classified
+    'en' — the composed pipeline every stage already passes individually."""
+    from pyspark.sql.types import StringType
+
+    from geojson_spark.functions.text import lang_id
+    from geojson_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    quality = q_quality_score(spark, sf_dir)
+
+    @F.pandas_udf(StringType())
+    def _lang(texts: pd.Series) -> pd.Series:
+        return pd.Series(lang_id(texts))
+
+    langs = docs.select("doc_id", _lang(F.col("text")).alias("pred_lang"))
+    stats = q_token_stats(spark, sf_dir).select("doc_id", "n_tokens")
+    return (
+        docs.select("doc_id")
+        .join(keepers, "doc_id", "left_semi")
+        .join(quality, "doc_id")
+        .join(langs, "doc_id")
+        .join(stats, "doc_id")
+        .where((F.col("q_score") >= 0.5) & (F.col("pred_lang") == "en"))
+        .select("doc_id", "n_tokens", "q_score")
+    )
+
+
+def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components keeper assignment over the near-dup pair graph
+    (iterative min-label propagation in Spark; recursive-CTE transitive
+    closure in the oracle)."""
+    from geojson_spark.operators.dedup import assign_keepers
+
+    pairs = q_shingle_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return assign_keepers(pairs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("keeper_id").cast("bigint").alias("keeper_id"),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (winnowing-lite) — rows-only check;
     parity vs a pure-Python reference is asserted in pytest."""
@@ -803,6 +846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": wrap(q_cube),
         "shipping_priority": wrap(q_shipping_priority),
         "semi_anti": wrap(q_semi_anti),
+        "corpus_filter": wrap(q_corpus_filter),
+        "dedup_keepers": wrap(q_dedup_keepers),
         "median_price": wrap(q_median_price),
         "pivot_status": wrap(q_pivot_status),
         "props_extract": wrap(q_props_extract),
@@ -1014,6 +1059,83 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY revenue_cents DESC, o_orderkey ASC
             LIMIT 10
+        """,
+        "corpus_filter": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     length(text)::DOUBLE AS n_chars,
+                     (length(text) - length(replace(text, ' ', '')) + 1) AS n_tokens,
+                     (length(text) - length(replace(text, '.', ''))
+                      + length(text) - length(replace(text, ',', '')))::DOUBLE AS n_punct
+              FROM documents
+            ), q AS (
+              SELECT doc_id, n_tokens,
+                     floor((0.4 * least(n_chars / 200.0, 1.0)
+                          + 0.3 * least(n_punct / n_tokens::DOUBLE * 5.0, 1.0)
+                          + 0.3 * greatest(0.0, least(1.0,
+                                1.0 - abs((n_chars - (n_tokens - 1)) / n_tokens::DOUBLE - 5.0) / 10.0))
+                           ) * 1000.0) / 1000.0 AS q_score
+              FROM t
+            ), w AS (
+              SELECT doc_id, list_distinct(list_transform(
+                  (list_filter(string_split_regex(text, '\s+'), x -> x <> ''))[1:200],
+                  x -> lower(x))) AS words
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                len(list_intersect(words, ['the','and','of','to','in','is','that','it','was','for'])) AS en,
+                len(list_intersect(words, ['der','die','und','das','ist','nicht','ein','mit','von','zu'])) AS de,
+                len(list_intersect(words, ['le','la','et','les','des','est','un','une','du','que'])) AS fr,
+                len(list_intersect(words, ['el','la','de','que','los','es','un','una','las','por'])) AS es
+              FROM w
+            ), lang AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(en,de,fr,es) = 0 THEN 'und'
+                          WHEN en = greatest(en,de,fr,es) THEN 'en'
+                          WHEN de = greatest(en,de,fr,es) THEN 'de'
+                          WHEN fr = greatest(en,de,fr,es) THEN 'fr'
+                          ELSE 'es' END AS pred_lang
+              FROM h
+            ), keepers AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            )
+            SELECT q.doc_id, q.n_tokens, q.q_score
+            FROM q JOIN lang USING (doc_id)
+            WHERE q.doc_id IN (SELECT doc_id FROM keepers)
+              AND q.q_score >= 0.5 AND lang.pred_lang = 'en'
+        """,
+        "dedup_keepers": r"""
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+              FROM documents
+            ), t AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                       ELSE list_transform(generate_series(1, len(words) - 2),
+                                           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                       END) AS sh
+              FROM w
+            ), pairs AS (
+              SELECT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.sh, b.sh)) AS n_inter,
+                       len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union
+                FROM t a JOIN t b ON a.doc_id < b.doc_id
+              ) WHERE n_inter * 1000 >= 500 * n_union
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT a AS id FROM edges
+            ), reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+            )
+            SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS keeper_id
+            FROM reach GROUP BY 1
         """,
         "semi_anti": """
             WITH w AS (
