@@ -483,45 +483,59 @@ def asof_join(
     right_time: str,
     right_cols: dict[str, str],
     right_tie: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: each left row picks the latest right row with
-    ``right_time <= left_time`` for the same ``key`` (ties on right_time
-    broken by the largest ``right_tie``). Unmatched left rows keep nulls.
+    ``right_time <= left_time`` (``direction="backward"``) or the earliest
+    with ``right_time >= left_time`` (``"forward"``) for the same ``key``.
+    Backward breaks right_time ties by the LARGEST ``right_tie``, forward
+    by the SMALLEST. Unmatched left rows keep nulls.
 
     Scale path: the naive formulation (theta-join + row_number) shuffles a
     fat |left|x|right-per-key| intermediate. This implementation instead
     UNIONs both sides tagged, sorts once per key by (time, side, tie), and
-    forward-fills the right columns with ``last(..., ignorenulls)`` over an
-    unbounded-preceding window — ONE shuffle, linear intermediate, the same
-    pattern Flink/KDB use for as-of. At equal timestamps the right row sorts
-    first, giving the standard ``<=`` semantics.
+    fills the right columns with ``last(..., ignorenulls)`` over an
+    unbounded-preceding window (backward; forward uses ``first`` over
+    unbounded-following) — ONE shuffle, linear intermediate, the same
+    pattern Flink/KDB use for as-of. At equal timestamps the right row
+    sorts on the inclusive side, giving ``<=`` / ``>=`` semantics.
 
     ``right_cols`` maps output name -> right column name.
     """
     from pyspark.sql.window import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    backward = direction == "backward"
+
     lt = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
-    r_sel = [F.col(key), F.col(right_time).alias("_t"), F.lit(0).alias("_side")]
+    # right rows sort before left at equal _t for backward (so last() sees
+    # them), after left for forward (so first() sees them)
+    r_side = 0 if backward else 2
+    r_sel = [F.col(key), F.col(right_time).alias("_t"), F.lit(r_side).alias("_side")]
     r_sel += [F.col(src).alias(f"_r_{out}") for out, src in right_cols.items()]
     order = [F.col("_t").asc(), F.col("_side").asc()]
     if right_tie is not None:
         r_sel.append(F.col(right_tie).alias("_tie"))
+        # backward: last() picks max tie at equal time (asc order);
+        # forward: first() picks min tie at equal time (asc order)
         order.append(F.col("_tie").asc_nulls_first())
     rt = right.select(*r_sel)
     u = lt.unionByName(rt, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(key)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = u.select(
-        *[F.col(c) for c in left.columns],
-        F.col("_side"),
-        *[
+    base = Window.partitionBy(key).orderBy(*order)
+    if backward:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fills = [
             F.last(F.col(f"_r_{out}"), ignorenulls=True).over(w).alias(out)
             for out in right_cols
-        ],
-    )
+        ]
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        fills = [
+            F.first(F.col(f"_r_{out}"), ignorenulls=True).over(w).alias(out)
+            for out in right_cols
+        ]
+    filled = u.select(*[F.col(c) for c in left.columns], F.col("_side"), *fills)
     return filled.where(F.col("_side") == 1).drop("_side")
 
 

@@ -684,3 +684,42 @@ def test_pip_join_random_polygons_matches_bruteforce(spark, index):
     }
     assert got == ref_pairs
     assert len(ref_pairs) > 50  # sanity: the scenario is non-trivial
+
+
+def test_asof_join_forward_matches_naive(spark):
+    from geojson_spark.operators.joins import asof_join
+
+    ev = _events(spark).select("event_id", "user_id", "ts")
+    # forward as-of only makes sense with right times >= some left times:
+    # shift orders into the events' era (deterministic arithmetic)
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"),
+        (F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 29 YEARS")).alias("rt"),
+        "o_orderkey",
+    )
+    fast = asof_join(
+        ev, orders, key="user_id", left_time="ts", right_time="rt",
+        right_cols={"o_orderkey": "o_orderkey"}, right_tie="o_orderkey",
+        direction="forward",
+    ).select("event_id", "o_orderkey")
+    naive = (
+        ev.alias("e")
+        .join(orders.alias("o"), "user_id", "left")
+        .where(F.col("o.rt") >= F.col("e.ts"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_id").orderBy(
+                    F.col("rt").asc(), F.col("o_orderkey").asc()
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("event_id", "o_orderkey")
+    )
+    f = {r.event_id: r.o_orderkey for r in fast.collect()}
+    n = {r.event_id: r.o_orderkey for r in naive.collect()}
+    assert all(f[k] == v for k, v in n.items())
+    assert len(f) == ev.count()
+    matched = sum(1 for v in f.values() if v is not None)
+    assert 0 < matched  # scenario has both matched and unmatched rows
