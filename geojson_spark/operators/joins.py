@@ -396,7 +396,7 @@ def knn_join_hex(
     k: int,
     *,
     ring: int = 2,
-    res: int = 9,
+    res: int | str = "auto",
     q_id: str = "q_id",
     p_id: str = "p_id",
     q_lon: str = "q_lon",
@@ -414,11 +414,26 @@ def knn_join_hex(
     > r have center separation ≥ r·√3·size, points deviate ≤ size from
     centers, so any point outside the ring is ≥ (r√3−2)·size away; failing
     queries fall back to brute force.
+
+    ``res="auto"`` picks the finest resolution whose ring-``ring``
+    neighborhood is expected to hold ~4k points at the measured global
+    density — a fixed fine res on sparse data sends every query down the
+    brute-force fallback (same rationale as knn_join's auto ring).
     """
     from pyspark.sql.window import Window
 
     from geojson_spark.functions.cells import _hex_size, hex_k_ring
     from geojson_spark.functions.spark_funcs import hex_cell_udf
+
+    if res == "auto":
+        n_points = points.count()
+        ring_cells = 1 + 3 * ring * (ring + 1)
+        res = 0
+        for r in range(15, -1, -1):  # finest acceptable wins
+            cell_area = 1.5 * (3.0**0.5) * _hex_size(r) ** 2
+            if n_points * cell_area / 64800.0 * ring_cells >= 4.0 * k:
+                res = r
+                break
 
     @F.pandas_udf(ArrayType(LongType()))
     def _ring(lon: pd.Series, lat: pd.Series) -> pd.Series:
