@@ -754,6 +754,42 @@ def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats: top-20 words by document frequency (word
+    tie-break) — explode → two-level agg → TopK."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
+        ).alias("word"),
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (floor-rounded 1e-3) — no SQL
+    oracle (DuckDB has no zlib); deterministic rows-only check + pytest."""
+    from pyspark.sql.types import DoubleType
+
+    from geojson_spark.functions.text import compression_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    @F.pandas_udf(DoubleType())
+    def _cr(texts: pd.Series) -> pd.Series:
+        return pd.Series(compression_ratio(texts))
+
+    return docs.select(
+        "doc_id", (F.floor(_cr(F.col("text")) * 1000) / 1000).alias("c_ratio")
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (winnowing-lite) — rows-only check;
     parity vs a pure-Python reference is asserted in pytest."""
@@ -847,6 +883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": wrap(q_shipping_priority),
         "semi_anti": wrap(q_semi_anti),
         "corpus_filter": wrap(q_corpus_filter),
+        "top_words": wrap(q_top_words),
+        "compression_ratio": wrap(q_compression_ratio),
         "dedup_keepers": wrap(q_dedup_keepers),
         "median_price": wrap(q_median_price),
         "pivot_status": wrap(q_pivot_status),
@@ -1059,6 +1097,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY revenue_cents DESC, o_orderkey ASC
             LIMIT 10
+        """,
+        "top_words": """
+            SELECT word, count(*) AS doc_freq FROM (
+              SELECT DISTINCT doc_id, unnest(list_filter(
+                string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+              FROM documents
+            )
+            GROUP BY word
+            ORDER BY doc_freq DESC, word ASC
+            LIMIT 20
         """,
         "corpus_filter": r"""
             WITH t AS (

@@ -214,3 +214,17 @@ def minhash_bands_batch(sigs: np.ndarray, n_bands: int = 16) -> np.ndarray:
             np.arange(n_bands, dtype=np.uint64)[None, :] << np.uint64(56)
         )
     return tagged.astype(np.int64)
+
+
+def compression_ratio(texts: pd.Series) -> np.ndarray:
+    """zlib-compressed size / raw size per document — the classic
+    boilerplate/spam signal (highly repetitive text compresses far below
+    typical prose ~0.4-0.6). Deterministic for a fixed zlib level."""
+    import zlib
+
+    out = np.ones(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts.fillna("")):
+        raw = t.encode("utf-8")
+        if raw:
+            out[i] = len(zlib.compress(raw, 6)) / len(raw)
+    return out
