@@ -64,6 +64,10 @@ def _new_session(cpus: int, tag: str):
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # finer scan granularity: the 300k-image table otherwise packs into
+        # ~5 read-partitions at local[2] (waves of 2/2/1 strand a core);
+        # ~16 MB splits give every level full waves + load balancing
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .getOrCreate()
@@ -173,6 +177,86 @@ def _warm_python_workers(spark, parts: int) -> None:
     ).agg(F.sum("y")).collect()
 
 
+def _calib_task(_i):
+    """Pure single-threaded NumPy work (sort/sin — no BLAS threading):
+    the unit of the host-ceiling probe."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(1_500_000)
+    for _ in range(5):
+        x = np.sort(x * 1.0001 + np.sin(x))
+    return float(x[0])
+
+
+def host_ceiling(p_lo: int, p_hi: int, n_tasks: int = 32) -> dict[str, float]:
+    """Measure what THIS HOST currently permits for the same core pair:
+    fixed pure-NumPy task set at p_lo and p_hi pinned processes. A shared
+    host is sometimes throttled below 0.8 parallel efficiency all by
+    itself; reporting the simultaneous ceiling separates engine scaling
+    from host weather (engine_vs_host = engine eff / host eff)."""
+    import multiprocessing as mp
+
+    all_cpus = sorted(os.sched_getaffinity(0))
+    out = {}
+    try:
+        for p in (p_lo, p_hi):
+            os.sched_setaffinity(0, set(all_cpus[:p]))
+            t0 = time.time()
+            with mp.get_context("fork").Pool(p) as pool:
+                pool.map(_calib_task, range(n_tasks))
+            out[p] = time.time() - t0
+    finally:
+        os.sched_setaffinity(0, set(all_cpus))
+    eff = (out[p_lo] / out[p_hi]) / (p_hi / p_lo)
+    return {
+        f"host_numpy_sec@{p_lo}": round(out[p_lo], 2),
+        f"host_numpy_sec@{p_hi}": round(out[p_hi], 2),
+        "host_ceiling_efficiency": round(eff, 3),
+    }
+
+
+def _scale_measurement(p: int, images_path: str, ckpt_dir: str, n_images: int) -> dict:
+    """One pinned tiling measurement in a fresh subprocess (fresh JVM).
+
+    The child is restricted to CPUs [0, p) before exec; the JVM and its
+    Python workers inherit that affinity, so local[p] really means p cores.
+    Session boot + worker warmup happen inside the child BEFORE timing.
+    """
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    all_cpus = sorted(os.sched_getaffinity(0))
+    cpus = set(all_cpus[:p])
+    res = subprocess.run(
+        [_sys.executable, os.path.abspath(__file__), "--scale-worker",
+         str(p), images_path, ckpt_dir, str(n_images)],
+        preexec_fn=lambda: os.sched_setaffinity(0, cpus),
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    if res.returncode != 0:
+        raise RuntimeError(f"scale worker failed: {res.stderr[-2000:]}")
+    return _json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def _scale_worker_main(p: int, images_path: str, ckpt_dir: str, n_images: int) -> None:
+    import json as _json
+
+    spark = _new_session(p, f"tile{p}")
+    _warm_python_workers(spark, p)
+    t0 = time.time()
+    tiling_job(spark, images_path, ckpt_dir=ckpt_dir)
+    wall = time.time() - t0
+    lineage = spark.read.parquet(os.path.join(ckpt_dir, "lineage_s2_assign"))
+    n_parts = lineage.count()
+    assert lineage.agg({"rows": "sum"}).collect()[0][0] == n_images
+    spark.stop()
+    print(_json.dumps({"wall": wall, "lineage_partitions": n_parts}))
+
+
 def run_scaling(n_images: int) -> dict[str, float]:
     """North-rule scaling evidence: the same tiling job at N and 4N cores.
 
@@ -200,24 +284,37 @@ def run_scaling(n_images: int) -> dict[str, float]:
         out["generate_sec"] = round(time.time() - t0, 2)
         spark.stop()
 
-        for p in (p_lo, p_hi):
-            spark = _new_session(p, f"tile{p}")
-            _warm_python_workers(spark, p)
-            ckpt_dir = os.path.join(tmp, f"ckpt{p}")
-            t0 = time.time()
-            tiling_job(spark, images_path, ckpt_dir=ckpt_dir)
-            wall = time.time() - t0
+        # Two measurement hazards on this host, both handled explicitly:
+        # 1. Unpinned local[N] is NOT an N-core cluster — the JVM's GC /
+        #    shuffle / Arrow threads soak extra cores, flattering the small
+        #    level and deflating efficiency. Each measurement runs in a
+        #    SUBPROCESS pinned (sched_setaffinity before exec, inherited by
+        #    its fresh JVM and Python workers) to exactly N CPUs, making
+        #    the "N vs 4N executors" emulation exact.
+        # 2. Absolute throughput swings ~2x over minutes (shared tenancy):
+        #    interleave reps of BOTH levels and take per-level minimum wall
+        #    (symmetric, robust to time-varying throttle).
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+        best: dict[int, float] = {}
+        for rep in range(reps):
+            for p in (p_lo, p_hi):
+                ckpt_dir = os.path.join(tmp, f"ckpt{p}_{rep}")
+                r = _scale_measurement(p, images_path, ckpt_dir, n_images)
+                best[p] = min(best.get(p, float("inf")), r["wall"])
+                out[f"lineage_partitions@local[{p}]"] = r["lineage_partitions"]
+        for p, wall in best.items():
             out[f"images_tiled_per_sec@local[{p}]"] = round(n_images / wall, 1)
             out[f"tiling_sec@local[{p}]"] = round(wall, 2)
-            lineage = spark.read.parquet(os.path.join(ckpt_dir, "lineage_s2_assign"))
-            out[f"lineage_partitions@local[{p}]"] = lineage.count()
-            assert lineage.agg({"rows": "sum"}).collect()[0][0] == n_images
-            spark.stop()
+        out["scaling_reps"] = reps
+        out["cpu_pinned"] = True
+        out.update(host_ceiling(p_lo, p_hi))
         thr_lo = out[f"images_tiled_per_sec@local[{p_lo}]"]
         thr_hi = out[f"images_tiled_per_sec@local[{p_hi}]"]
-        out[f"scaling_efficiency_{p_lo}_to_{p_hi}"] = round(
-            (thr_hi / thr_lo) / (p_hi / p_lo), 3
-        )
+        eff = round((thr_hi / thr_lo) / (p_hi / p_lo), 3)
+        out[f"scaling_efficiency_{p_lo}_to_{p_hi}"] = eff
+        ceiling = out.get("host_ceiling_efficiency")
+        if ceiling:
+            out["efficiency_vs_host_ceiling"] = round(eff / ceiling, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -246,4 +343,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
+        _scale_worker_main(
+            int(sys.argv[2]), sys.argv[3], sys.argv[4], int(sys.argv[5])
+        )
+    else:
+        main()
