@@ -187,6 +187,43 @@ def q_pip_rects_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("poly_id").agg(F.count("*").alias("n_points"))
 
 
+def _nation_rects_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation rectangles with a centered rectangular hole (ring 1) —
+    exercises multi-ring ray casting through the oracle gate."""
+    import pandas as pd
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+    rows = []
+    for r in nat:
+        x0 = (r.n_nationkey * 37) % 300 - 160 + 0.0005
+        y0 = (r.n_nationkey * 53) % 140 - 75 + 0.0005
+        x1, y1 = x0 + 12.0, y0 + 9.0
+        hx0, hy0, hx1, hy1 = x0 + 3.0, y0 + 2.0, x0 + 9.0, y0 + 7.0
+        rows.append(
+            {
+                "poly_id": int(r.n_nationkey),
+                "coords": [x0, y0, x1, y0, x1, y1, x0, y1, x0, y0,
+                           hx0, hy0, hx1, hy0, hx1, hy1, hx0, hy1, hx0, hy0],
+                "ring_offsets": [0, 5, 10],
+                "part_offsets": [0, 1],
+                "dim": 2,
+                "bbox": [x0, y0, x1, y1],
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def q_pip_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join against polygons WITH interior holes: counts per polygon of
+    points inside the shell but outside the hole (multi-ring ray cast)."""
+    from geojson_spark.operators.joins import pip_join
+
+    pts = _lineitem_points(spark, sf_dir)
+    polys = _nation_rects_holes(spark, sf_dir)
+    joined = pip_join(pts.select("p_id", "lon", "lat"), polys, index="grid")
+    return joined.groupBy("poly_id").agg(F.count("*").alias("n_points"))
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geojson_spark.operators.joins import knn_join
 
@@ -328,6 +365,53 @@ def q_geojson_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("f.geometry.coords"), 1).alias("x"),
         F.element_at(F.col("f.geometry.coords"), 2).alias("y"),
         F.get_json_object(F.col("f.properties"), "$.name").alias("name"),
+    )
+
+
+def q_polygon_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon parse ⇄ serialize fidelity through the oracle gate: build
+    Polygon Feature docs in SQL, parse with the engine, SERIALIZE the
+    geometry back to GeoJSON, REPARSE that, and extract the ring corners —
+    any drift in either direction breaks the value-hash match."""
+    from geojson_spark.sources.geojson import parse_features_udf, to_geometry_json
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    x0 = (F.col("n_nationkey") * 37) % 300 - 160 + 0.0005
+    y0 = (F.col("n_nationkey") * 53) % 140 - 75 + 0.0005
+    x1, y1 = x0 + 12.0, y0 + 9.0
+
+    def pos(x, y):
+        return F.concat(F.lit("["), x.cast("string"), F.lit(","), y.cast("string"), F.lit("]"))
+
+    ring = F.concat_ws(",", pos(x0, y0), pos(x1, y0), pos(x1, y1), pos(x0, y1), pos(x0, y0))
+    doc = F.concat(
+        F.lit('{"type":"Feature","geometry":{"type":"Polygon","coordinates":[['),
+        ring,
+        F.lit(']]},"properties":null}'),
+    )
+    parsed = nat.select(
+        F.col("n_nationkey").cast("bigint").alias("poly_id"),
+        F.explode(parse_features_udf(doc)).alias("f"),
+    )
+    reser = parsed.select(
+        "poly_id",
+        F.concat(
+            F.lit('{"type":"Feature","geometry":'),
+            to_geometry_json(F.col("f.geometry")),
+            F.lit(',"properties":null}'),
+        ).alias("doc2"),
+    )
+    round2 = reser.select(
+        "poly_id", F.explode(parse_features_udf(F.col("doc2"))).alias("f")
+    )
+    c = F.col("f.geometry.coords")
+    return round2.select(
+        "poly_id",
+        F.element_at(c, 1).alias("x0"),
+        F.element_at(c, 2).alias("y0"),
+        F.element_at(c, 5).alias("x1"),
+        F.element_at(c, 6).alias("y1"),
+        F.size(c).alias("n_coords"),
     )
 
 
@@ -854,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_union": wrap(q_bbox_union),
         "pip_rects": wrap(q_pip_rects),
         "pip_rects_s2": wrap(q_pip_rects_s2),
+        "pip_holes": wrap(q_pip_holes),
         "knn": wrap(q_knn),
         "tile_counts": wrap(q_tile_counts),
         "salted_counts": wrap(q_salted_counts),
@@ -864,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windows": wrap(q_events_windows),
         "ann_topk": wrap(q_ann_topk),
         "geojson_parse": wrap(q_geojson_parse),
+        "polygon_roundtrip": wrap(q_polygon_roundtrip),
         "lang_distribution": wrap(q_lang_distribution),
         "minhash_near_dups": wrap(q_minhash_near_dups),
         "simhash_near_dups": wrap(q_simhash_near_dups),
@@ -921,6 +1007,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.poly_id AS poly_id, count(*) AS n_points
             FROM {pts} p JOIN {rects} r
               ON p.lon > r.x0 AND p.lon < r.x1 AND p.lat > r.y0 AND p.lat < r.y1
+            GROUP BY 1
+        """,
+        "pip_holes": f"""
+            SELECT r.poly_id AS poly_id, count(*) AS n_points
+            FROM {pts} p JOIN {rects} r
+              ON p.lon > r.x0 AND p.lon < r.x1 AND p.lat > r.y0 AND p.lat < r.y1
+             AND NOT (p.lon > r.x0 + 3.0 AND p.lon < r.x0 + 9.0
+                      AND p.lat > r.y0 + 2.0 AND p.lat < r.y0 + 7.0)
             GROUP BY 1
         """,
         "knn": f"""
@@ -1024,6 +1118,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey::BIGINT AS c_custkey, {clon} AS x, {clat} AS y,
                    c_name AS name
             FROM customer
+        """,
+        "polygon_roundtrip": """
+            SELECT n_nationkey::BIGINT AS poly_id,
+                   (n_nationkey * 37) % 300 - 160 + 0.0005 AS x0,
+                   (n_nationkey * 53) % 140 - 75 + 0.0005 AS y0,
+                   (n_nationkey * 37) % 300 - 160 + 12.0005 AS x1,
+                   (n_nationkey * 53) % 140 - 75 + 9.0005 AS y1,
+                   10 AS n_coords
+            FROM nation
         """,
         "window_topn": """
             WITH j AS (
