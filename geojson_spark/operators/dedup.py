@@ -258,9 +258,13 @@ def set_similarity_join(
 
     if method == "count":
         flat = toks.select("id", "n", F.explode("sh").alias("w"))
+        # force a shuffle join: both sides then hash-partition the SAME
+        # subtree on w and Catalyst's ReusedExchange computes the shingle
+        # expansion once, where a broadcast side would recompute it AND
+        # pay the broadcast build of the whole flat index
         pair_counts = (
             flat.alias("a")
-            .join(flat.alias("b"), "w")
+            .join(flat.alias("b").hint("shuffle_hash"), "w")
             .where(F.col("a.id") < F.col("b.id"))
             .groupBy(
                 F.col("a.id").alias("id_a"),
