@@ -142,7 +142,9 @@ def minhash_lsh_candidates(
     )
     exploded = sigs.select("id", F.explode("bands").alias("band_key"))
     a = exploded.alias("a")
-    b = exploded.alias("b")
+    # shuffle join so the signature UDF subtree is computed once via
+    # ReusedExchange instead of once per broadcast side
+    b = exploded.alias("b").hint("shuffle_hash")
     return (
         a.join(b, "band_key")
         .where(F.col("a.id") < F.col("b.id"))
@@ -345,7 +347,7 @@ def hamming_pairs(
         "id", "h", F.explode(F.array(*chunk_structs)).alias("c")
     ).select("id", "h", "c.chunk_no", "c.chunk")
     a = chunks.alias("a")
-    b = chunks.alias("b")
+    b = chunks.alias("b").hint("shuffle_hash")  # reuse, not broadcast+recompute
     cand = (
         a.join(b, ["chunk_no", "chunk"])
         .where(F.col("a.id") < F.col("b.id"))
