@@ -296,25 +296,32 @@ def run_scaling(n_images: int) -> dict[str, float]:
         #    (symmetric, robust to time-varying throttle).
         reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
         budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "420"))
-        best: dict[int, float] = {}
+        walls: list[dict[int, float]] = []
         t_scale0 = time.time()
-        done_reps = 0
         for rep in range(reps):
             # rep 1 always runs; later reps only within the wall budget so a
             # slow host can't push the whole bench past a harness timeout
             if rep > 0 and time.time() - t_scale0 > budget_s:
                 break
+            w: dict[int, float] = {}
             for p in (p_lo, p_hi):
                 ckpt_dir = os.path.join(tmp, f"ckpt{p}_{rep}")
                 r = _scale_measurement(p, images_path, ckpt_dir, n_images)
-                best[p] = min(best.get(p, float("inf")), r["wall"])
+                w[p] = r["wall"]
                 out[f"lineage_partitions@local[{p}]"] = r["lineage_partitions"]
-            done_reps = rep + 1
-        reps = done_reps
-        for p, wall in best.items():
+            walls.append(w)
+        # the headline efficiency comes from the best PAIRED rep: both
+        # levels of one rep run back-to-back (~5-min window) and share the
+        # host's weather, where a min-of-each across reps could pair a
+        # throttled window with a healthy one in either direction
+        ratio = p_hi / p_lo
+        per_rep = [round((w[p_lo] / w[p_hi]) / ratio, 3) for w in walls]
+        best_rep = walls[per_rep.index(max(per_rep))]
+        for p, wall in best_rep.items():
             out[f"images_tiled_per_sec@local[{p}]"] = round(n_images / wall, 1)
             out[f"tiling_sec@local[{p}]"] = round(wall, 2)
-        out["scaling_reps"] = reps
+        out["scaling_reps"] = len(walls)
+        out["scaling_efficiency_per_rep"] = per_rep
         out["cpu_pinned"] = True
         out.update(host_ceiling(p_lo, p_hi))
         thr_lo = out[f"images_tiled_per_sec@local[{p_lo}]"]
