@@ -43,7 +43,12 @@ def assign_keepers(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     edges = pairs.select(
         F.col("id_a").cast("long").alias("a"), F.col("id_b").cast("long").alias("b")
     )
-    both = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # cache the (tiny) edge list: every propagation round references it, and
+    # without the cache Spark re-runs the caller's whole candidate pipeline
+    # (LSH/shingle joins) once per iteration
+    both = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
     labels = both.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("lbl")).select(
         F.col("a").alias("id"), F.when(F.col("lbl") < F.col("a"), F.col("lbl"))
         .otherwise(F.col("a")).alias("keeper_id")
