@@ -72,6 +72,10 @@ def assign_keepers(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
         new = chained.join(nbr.withColumnRenamed("a", "id"), "id", "left").select(
             "id", F.least(F.col("keeper_id"), F.coalesce(F.col("nk"), F.col("keeper_id"))).alias("keeper_id")
         )
+        # truncate lineage each round: an iterative plan otherwise nests one
+        # level of joins per iteration and long chains (graph diameter)
+        # exhaust execution memory on plan machinery alone
+        new = new.localCheckpoint(eager=True)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "id")
