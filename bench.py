@@ -48,6 +48,11 @@ HEADLINE = [
     "range_join",
     "sessionize",
     "hex_cell_counts",
+    "pip_holes",
+    "corpus_filter",
+    "dedup_keepers",
+    "median_price",
+    "polygon_roundtrip",
 ]
 
 
