@@ -137,8 +137,8 @@ _NATION_RECTS_SQL = """
     SELECT n_nationkey AS poly_id,
            (n_nationkey * 37) % 300 - 160 + 0.0005 AS x0,
            (n_nationkey * 53) % 140 - 75 + 0.0005 AS y0,
-           (n_nationkey * 37) % 300 - 160 + 12.0005 AS x1,
-           (n_nationkey * 53) % 140 - 75 + 9.0005 AS y1
+           ((n_nationkey * 37) % 300 - 160 + 0.0005) + 12.0 AS x1,
+           ((n_nationkey * 53) % 140 - 75 + 0.0005) + 9.0 AS y1
     FROM nation
 """
 
@@ -1040,17 +1040,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT cast(floor(floor(cell_id / 4096) / 16) as bigint) * 4096
                    + cast(floor((cell_id % 4096) / 16) as bigint) AS tile_id,
                    count(*) AS n_points,
-                   sum(cast(l_quantity as bigint)) AS sum_qty
+                   cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty
             FROM c GROUP BY 1
         """,
         "salted_counts": f"""
             SELECT {GRID_SQL} AS cell_id, count(*) AS n_points,
-                   sum(cast(l_quantity as bigint)) AS sum_qty
+                   cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty
             FROM {pts} GROUP BY 1
         """,
         "region_rollup": """
             SELECT r_name, count(*) AS n_customers,
-                   sum(cast(round(c_acctbal * 100) as bigint)) AS acctbal_cents
+                   cast(sum(cast(round(c_acctbal * 100) as bigint)) as bigint) AS acctbal_cents
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -1123,8 +1123,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey::BIGINT AS poly_id,
                    (n_nationkey * 37) % 300 - 160 + 0.0005 AS x0,
                    (n_nationkey * 53) % 140 - 75 + 0.0005 AS y0,
-                   (n_nationkey * 37) % 300 - 160 + 12.0005 AS x1,
-                   (n_nationkey * 53) % 140 - 75 + 9.0005 AS y1,
+                   ((n_nationkey * 37) % 300 - 160 + 0.0005) + 12.0 AS x1,
+                   ((n_nationkey * 53) % 140 - 75 + 0.0005) + 9.0 AS y1,
                    10 AS n_coords
             FROM nation
         """,
@@ -1170,8 +1170,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(cast(l_quantity as bigint)) AS sum_qty,
-                   sum(cast(round(l_extendedprice * 100) as bigint)) AS sum_base_cents,
+                   cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty,
+                   cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint) AS sum_base_cents,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1181,7 +1181,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
                    coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
                    count(*) AS n_orders,
-                   sum(cast(round(o_totalprice * 100) as bigint)) AS price_cents
+                   cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS price_cents
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
@@ -1189,8 +1189,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey::BIGINT AS o_orderkey,
                    strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
                    o_orderpriority,
-                   sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint))
-                     AS revenue_cents
+                   cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint))
+                     as bigint) AS revenue_cents
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -1326,7 +1326,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "props_extract": """
             SELECT event_type, count(*) AS n_events,
-                   sum(cast(props->>'$.k' as bigint)) AS sum_k,
+                   cast(sum(cast(props->>'$.k' as bigint)) as bigint) AS sum_k,
                    min(cast(props->>'$.k' as bigint)) AS min_k,
                    max(cast(props->>'$.k' as bigint)) AS max_k
             FROM events GROUP BY 1
@@ -1421,7 +1421,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-                   sum(cast(round(value * 100) as bigint)) AS value_cents
+                   cast(sum(cast(round(value * 100) as bigint)) as bigint) AS value_cents
             FROM x GROUP BY 1, 2
         """,
     }

@@ -71,6 +71,21 @@ def main():
         elif len(spdf) != len(odf):
             status.append(f"ROWS {len(spdf)} vs {len(odf)}")
         else:
+            # The driver hashes value reprs, so a dtype *kind* flip (e.g.
+            # DuckDB sum(BIGINT) -> HUGEINT -> float64 vs Spark int64 turns
+            # 5 into 5.0) fails its hash_match even when rounded values
+            # agree. Width-only differences (int32 vs int64) hash the same.
+            def kind(d):
+                k = d.kind
+                return "i" if k in ("i", "u", "b") else k
+
+            dt = [
+                (c, str(spdf[c].dtype), str(odf[c].dtype))
+                for c in cols
+                if kind(spdf[c].dtype) != kind(odf[c].dtype)
+            ]
+            if dt:
+                status.append(f"DTYPE {dt}")
             a = normalize(spdf.to_dict("records"), cols)
             b = normalize(odf.to_dict("records"), cols)
             if a != b:
