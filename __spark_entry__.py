@@ -552,8 +552,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-word-shingle Jaccard near-dup join, prefix-filtered
-    (AllPairs) — all built-in Column ops, integer outputs."""
+    """Exact 3-word-shingle Jaccard near-dup join — all built-in Column
+    ops, integer outputs. The physical strategy is auto-selected from a
+    shingle document-frequency probe: inverted-index count on modest-df
+    corpora (the case here), prefix-filtered AllPairs when boilerplate
+    shingles would make Σ df² explode."""
     from geojson_spark.operators.dedup import set_similarity_join
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -140,8 +140,37 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / max(1, len(a | b))
 
 
+def _mod_pow_table(base: int, n: int, mod: int, block: int = 1024) -> np.ndarray:
+    """[base^0, base^1, …, base^(n-1)] mod ``mod``, built from a
+    block-decomposed product base^(q·B) · base^r so the only Python loops
+    are O(B) + O(n/B) instead of O(n). Products fit int64: both factors
+    < mod < 2^31."""
+    small = np.empty(min(block, n), dtype=np.int64)
+    acc = 1
+    for r in range(len(small)):
+        small[r] = acc
+        acc = acc * base % mod
+    if n <= block:
+        return small
+    big_step = pow(base, block, mod)
+    big = np.empty((n + block - 1) // block, dtype=np.int64)
+    acc = 1
+    for q in range(len(big)):
+        big[q] = acc
+        acc = acc * big_step % mod
+    t = np.arange(n, dtype=np.int64)
+    return big[t // block] * small[t % block] % mod
+
+
 def rolling_fingerprint(text: str, window: int = 64, mod: int = (1 << 31) - 1) -> int:
-    """Document fingerprint: min of a rolling polynomial hash (winnowing-lite)."""
+    """Document fingerprint: min of a rolling polynomial hash
+    (winnowing-lite).
+
+    Vectorized via modular prefix products: with inv = 257^-1 mod p,
+    S[t] = Σ_{u<t} data[u]·inv^u, the window hash is
+    h[i] = (S[i+w] − S[i]) · 257^(i+w−1) mod p — all NumPy element-wise
+    ops; no per-byte Python loop, so long documents run at memory
+    bandwidth."""
     data = text.encode("utf-8")
     if len(data) <= window:
         h = 0
@@ -149,16 +178,16 @@ def rolling_fingerprint(text: str, window: int = 64, mod: int = (1 << 31) - 1) -
             h = (h * 257 + c) % mod
         return h
     arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
-    pows = np.array([pow(257, window - 1 - i, mod) for i in range(window)], dtype=np.int64)
     n = len(arr) - window + 1
-    # rolling via prefix hashes: h[i] = sum(arr[i:i+window] * pows) mod p
-    first = int((arr[:window] * pows % mod).sum() % mod)
-    hashes = np.empty(n, dtype=np.int64)
-    hashes[0] = first
-    top = int(pows[0])
-    for i in range(1, n):
-        hashes[i] = ((hashes[i - 1] - arr[i - 1] * top) * 257 + arr[i + window - 1]) % mod
-    return int(hashes.min() % mod)
+    inv = pow(257, -1, mod)
+    invpow = _mod_pow_table(inv, len(arr), mod)
+    # terms < 2^39; an int64 cumsum overflows only past ~2^32 bytes
+    S = np.concatenate([[0], np.cumsum(arr * invpow % mod) % mod])
+    pows = _mod_pow_table(257, len(arr), mod)
+    diff = (S[window:] - S[:-window]) % mod
+    hashes = diff * pows[window - 1 :] % mod
+    assert len(hashes) == n
+    return int(hashes.min())
 
 
 def minhash_signatures_batch(

@@ -39,6 +39,12 @@ def assign_keepers(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     diameter (≤ log n after path-halving via keeper chaining). Converges
     when no label changes — checked with a cheap count, bounded by
     ``max_iters``.
+
+    Cache discipline: the symmetrized edge list is cached for the loop and
+    unpersisted before returning, so repeated calls in a long-lived session
+    don't accumulate blocks. The per-round ``localCheckpoint`` truncates
+    plan lineage but is NOT fault-tolerant to executor loss on a real
+    cluster — for multi-hour jobs swap in a reliable ``checkpoint()`` dir.
     """
     edges = pairs.select(
         F.col("id_a").cast("long").alias("a"), F.col("id_b").cast("long").alias("b")
@@ -53,6 +59,14 @@ def assign_keepers(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
         F.col("a").alias("id"), F.when(F.col("lbl") < F.col("a"), F.col("lbl"))
         .otherwise(F.col("a")).alias("keeper_id")
     )
+    try:
+        labels = _propagate_keepers(both, labels, max_iters)
+    finally:
+        both.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), "keeper_id")
+
+
+def _propagate_keepers(both: DataFrame, labels: DataFrame, max_iters: int) -> DataFrame:
     for _ in range(max_iters):
         # propagate: my keeper ← min(my keeper, keeper of my keeper)
         chained = labels.alias("x").join(
@@ -86,7 +100,7 @@ def assign_keepers(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
         labels = new
         if changed == 0:
             break
-    return labels.select(F.col("id").alias("doc_id"), "keeper_id")
+    return labels
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -228,6 +242,28 @@ def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, k: int):
     return docs.select(F.col(id_col).alias("id"), F.array_distinct(sh).alias("sh"))
 
 
+def choose_set_similarity_method(toks: DataFrame, *, count_budget: int = 200_000_000) -> str:
+    """Pick the exact set-similarity strategy from the shingle df profile.
+
+    The count path materializes Σ df·(df−1)/2 pre-agg pair rows (one per
+    co-occurrence); when that exceeds ``count_budget`` — a few boilerplate
+    shingles at web scale get df in the millions, so df² dominates — the
+    prefix-filtered AllPairs path is the only one that survives. The probe
+    is a single groupBy+sum over the flat index, O(tokens) — an extra pass,
+    but the prefix path needs the same df table anyway and the count path
+    it guards is quadratic in df.
+    """
+    probe = (
+        toks.select(F.explode("sh").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("df"))
+        .agg(F.sum(F.col("df") * (F.col("df") - F.lit(1))).alias("pairs2"))
+        .first()
+    )
+    pairs2 = (probe["pairs2"] or 0) // 2
+    return "prefix" if pairs2 > count_budget else "count"
+
+
 def set_similarity_join(
     docs: DataFrame,
     *,
@@ -235,13 +271,22 @@ def set_similarity_join(
     text_col: str = "text",
     threshold_milli: int = 500,
     k_shingle: int = 3,
-    method: str = "count",
+    method: str = "auto",
+    auto_count_budget: int = 200_000_000,
 ) -> DataFrame:
     """Exact all-pairs Jaccard join over k-word shingle sets.
 
     Returns (id_a, id_b, n_inter, n_union) for every pair with
     ``n_inter * 1000 >= threshold_milli * n_union`` — integer arithmetic, so
     a SQL oracle reproduces it bit-exactly.
+
+    ``method="auto"`` (default) probes the shingle document-frequency
+    distribution — one groupBy+agg over the flat (id, shingle) index — and
+    picks ``"count"`` only when its candidate volume Σ df·(df−1)/2 fits
+    ``auto_count_budget`` rows; otherwise ``"prefix"``. At the 100 TB
+    design point a handful of boilerplate shingles (page headers, license
+    blocks) make Σ df² explode, which is exactly what prefix filtering
+    skips; on modest-df near-dup corpora the count path is ~20× faster.
 
     Two exact physical strategies, picked by ``method``:
 
@@ -266,6 +311,9 @@ def set_similarity_join(
     from pyspark.sql.window import Window
 
     toks = _shingle_sets(docs, id_col, text_col, k_shingle).withColumn("n", F.size("sh"))
+
+    if method == "auto":
+        method = choose_set_similarity_method(toks, count_budget=auto_count_budget)
 
     if method == "count":
         flat = toks.select("id", "n", F.explode("sh").alias("w"))
@@ -459,7 +507,10 @@ def embedding_dedup(
         F.explode(_buckets(F.col(vec_col))).alias("bucket"),
     )
     a = keyed.alias("a")
-    b = keyed.alias("b")
+    # shuffle join so the bucket-UDF subtree is computed once via
+    # ReusedExchange instead of once more for a broadcast build side (same
+    # reason as the minhash band / Hamming chunk self-joins)
+    b = keyed.alias("b").hint("shuffle_hash")
     cand = (
         a.join(b, "bucket")
         .where(F.col("a.id") < F.col("b.id"))

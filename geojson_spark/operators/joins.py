@@ -38,6 +38,10 @@ from geojson_spark.functions.spark_funcs import (
 
 KM_PER_DEG_LAT = 111.19492664455873  # 2πR/360 at R=6371.0088
 
+# adaptive-broadcast budget for pip_join, in *exploded* (poly, cell) rows —
+# the thing actually shipped to every executor
+PIP_BROADCAST_MAX_ROWS = 4_000_000
+
 
 # ---------------------------------------------------------------------------
 # polygon covers
@@ -141,16 +145,25 @@ def s2_cover_udf(levels=S2_COVER_LEVELS, max_cover_cells: int = 1024):
 
 
 def pip_refine_udf():
-    """(px, py, coords, ring_offsets, dim) → bool, vectorized per polygon.
+    """(px, py, poly_id, coords, ring_offsets, dim) → bool, vectorized per
+    polygon.
 
-    Rows inside an Arrow batch are grouped by polygon identity so each
-    polygon's edge array is built once and all its candidate points go
-    through one NumPy ray-casting call (north rule: 'ray-casting over
-    sorted edge lists per cell')."""
+    Rows inside an Arrow batch are grouped by ``poly_id`` — the join key,
+    unique per polygon — so each polygon's edge array is built once and all
+    its candidate points go through one NumPy ray-casting call (north rule:
+    'ray-casting over sorted edge lists per cell'). Grouping by id rather
+    than a coords signature avoids collisions between distinct polygons
+    that share vertex count + first vertex (common in tiled/gridded
+    data)."""
 
     @F.pandas_udf(BooleanType())
     def _refine(
-        px: pd.Series, py: pd.Series, coords: pd.Series, ring_offsets: pd.Series, dim: pd.Series
+        px: pd.Series,
+        py: pd.Series,
+        poly_id: pd.Series,
+        coords: pd.Series,
+        ring_offsets: pd.Series,
+        dim: pd.Series,
     ) -> pd.Series:
         n = len(px)
         out = np.zeros(n, dtype=bool)
@@ -158,17 +171,8 @@ def pip_refine_udf():
             return pd.Series(out)
         pxv = px.to_numpy(np.float64)
         pyv = py.to_numpy(np.float64)
-        # group candidate rows by polygon content signature so each
-        # polygon's edges are materialized once per batch
-        sig = pd.Series(
-            [
-                (len(c), float(c[0]), float(c[-1])) if c is not None and len(c) else (0, 0.0, 0.0)
-                for c in coords
-            ],
-            index=px.index,
-        )
         frame = pd.DataFrame({"i": np.arange(n)})
-        frame["sig"] = sig.values
+        frame["sig"] = pd.factorize(poly_id.values)[0]
         for _, grp in frame.groupby("sig", sort=False):
             idx = grp["i"].to_numpy()
             first = idx[0]
@@ -209,15 +213,14 @@ def pip_join(
     columns + ``poly_id``, one row per (point, containing polygon).
 
     ``broadcast_polygons=None`` (default) decides adaptively (north rule
-    'adaptive broadcast of small polygon sides'): one cheap count() probe
-    of the polygon table — ≤ ``broadcast_max_polys`` rows broadcast the
-    exploded cover (points never shuffle); larger polygon sides fall back
-    to a shuffled equi-join where AQE's skew-join splitting applies.
+    'adaptive broadcast of small polygon sides'): what is broadcast is the
+    *exploded* cover, so the gate bounds estimated post-explode rows —
+    polygon count × mean cover size sampled from ≤2048 polygons — not raw
+    polygon count (a 100k-polygon side with ~1k-cell covers would be 10⁸
+    broadcast rows and OOM the driver). Small sides broadcast (points
+    never shuffle); larger sides fall back to a shuffled equi-join where
+    AQE's skew-join splitting applies.
     """
-    broadcast_max_polys = 100_000  # × ~cover keys/poly ≈ autoBroadcast budget
-    if broadcast_polygons is None:
-        broadcast_polygons = polygons.count() <= broadcast_max_polys
-
     poly_cols = ["poly_id", "coords", "ring_offsets", "dim"]
 
     # One equi-join, no data-dependent driver round-trips: polygons carry a
@@ -227,9 +230,8 @@ def pip_join(
     # duplicate pairs arise. Point-side fan-out is ladder-width (4), which
     # a broadcast join absorbs without any shuffle.
     if index == "grid":
-        exploded = polygons.select(
-            *poly_cols, F.explode(grid_cover_udf(cpd)(F.col("bbox"))).alias("cell_id")
-        )
+        cover_expr = grid_cover_udf(cpd)(F.col("bbox"))
+        exploded = polygons.select(*poly_cols, F.explode(cover_expr).alias("cell_id"))
         pcell = grid_cell(F.col(lon), F.col(lat), cpd)
         keys = []
         for fi, f in enumerate(GRID_FACTORS):
@@ -237,12 +239,8 @@ def pip_join(
             keys.append(c * 8 + fi)
         pts = points.withColumn("cell_id", F.explode(F.array(*keys)))
     elif index == "s2":
-        exploded = polygons.select(
-            *poly_cols,
-            F.explode(s2_cover_udf(max_cover_cells=max_cover_cells)(F.col("bbox"))).alias(
-                "cell_id"
-            ),
-        )
+        cover_expr = s2_cover_udf(max_cover_cells=max_cover_cells)(F.col("bbox"))
+        exploded = polygons.select(*poly_cols, F.explode(cover_expr).alias("cell_id"))
         pcell = s2_cell_udf(S2_COVER_LEVELS[0])(F.col(lon), F.col(lat))
         pts = points.withColumn("_leaf", pcell).withColumn(
             "cell_id",
@@ -251,12 +249,32 @@ def pip_join(
     else:
         raise ValueError(f"unknown index {index!r}")
 
+    broadcast_max_rows = PIP_BROADCAST_MAX_ROWS
+    if broadcast_polygons is None:
+        n_polys = polygons.count()
+        if n_polys > broadcast_max_rows:
+            broadcast_polygons = False
+        elif n_polys == 0:
+            broadcast_polygons = True
+        else:
+            frac = min(1.0, 2048.0 / n_polys)
+            sampled = polygons if frac >= 1.0 else polygons.sample(False, frac, seed=7)
+            mean_cover = (
+                sampled.select(F.avg(F.size(cover_expr)).alias("m")).first()["m"] or 1.0
+            )
+            broadcast_polygons = n_polys * mean_cover <= broadcast_max_rows
+
     right = F.broadcast(exploded) if broadcast_polygons else exploded
     joined = pts.join(right, "cell_id")
 
     refined = joined.where(
         pip_refine_udf()(
-            F.col(lon), F.col(lat), F.col("coords"), F.col("ring_offsets"), F.col("dim")
+            F.col(lon),
+            F.col(lat),
+            F.col("poly_id"),
+            F.col("coords"),
+            F.col("ring_offsets"),
+            F.col("dim"),
         )
     )
     drop = [c for c in ("cell_id", "point_cell", "coords", "ring_offsets", "dim") if c in refined.columns]

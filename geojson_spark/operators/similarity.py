@@ -58,8 +58,18 @@ def train_centroids(
     vectors: DataFrame, n_centroids: int = 16, *, v_vec: str = "embedding",
     sample: int = 2048, iters: int = 10, seed: int = 42,
 ) -> np.ndarray:
-    """k-means on a driver-side sample (Lloyd's, NumPy). Returns (C, dim)."""
-    pdf = vectors.select(v_vec).limit(sample).toPandas()
+    """k-means on a driver-side sample (Lloyd's, NumPy). Returns (C, dim).
+
+    The sample is a uniform ``.sample()`` over the whole table, not
+    ``.limit()`` — limit takes the first partitions, which on
+    time/key-ordered parquet trains centroids on a biased slice of the
+    distribution."""
+    n = vectors.count()
+    frac = min(1.0, 1.5 * sample / max(n, 1))
+    src = vectors.select(v_vec)
+    if frac < 1.0:
+        src = src.sample(False, frac, seed=seed)
+    pdf = src.limit(sample).toPandas()
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[v_vec]])
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

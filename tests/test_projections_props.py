@@ -115,6 +115,173 @@ def test_constructors_and_extractors(spark):
         df.where(expect_geometry(F.col("g"), "LineString")).count()
 
 
+def test_constructor_reference_vectors(spark):
+    """Conversion vectors from the reference's from_geo_types tests
+    (:300-360): Line→LineString, Triangle closes the ring, Rect winds
+    from (max_x, min_y), MultiLineString / Polygon-with-hole nesting."""
+    from geojson_spark.functions.constructors import (
+        st_geometry_collection,
+        st_line,
+        st_linestring,
+        st_multilinestring,
+        st_multipoint,
+        st_multipolygon,
+        st_polygon,
+        st_triangle,
+    )
+    from geojson_spark.sources.geojson import to_geometry_json
+
+    lit = F.lit
+    one = spark.range(1)
+
+    def gj(col):
+        return json.loads(one.select(to_geometry_json(col).alias("j")).first().j)
+
+    assert gj(st_line(lit(1.0), lit(2.0), lit(3.0), lit(4.0))) == {
+        "type": "LineString", "coordinates": [[1.0, 2.0], [3.0, 4.0]],
+    }
+    assert gj(st_triangle(lit(0.0), lit(0.0), lit(2.0), lit(0.0), lit(1.0), lit(1.0))) == {
+        "type": "Polygon",
+        "coordinates": [[[0.0, 0.0], [2.0, 0.0], [1.0, 1.0], [0.0, 0.0]]],
+    }
+    # RECT(0 0, 1 2) — from_geo_types.rs:321-333
+    assert gj(st_rect(lit(0.0), lit(0.0), lit(1.0), lit(2.0))) == {
+        "type": "Polygon",
+        "coordinates": [[[1.0, 0.0], [1.0, 2.0], [0.0, 2.0], [0.0, 0.0], [1.0, 0.0]]],
+    }
+    mp = F.array(F.array(lit(1.0), lit(2.0)), F.array(lit(3.0), lit(4.0)))
+    assert gj(st_multipoint(mp)) == {
+        "type": "MultiPoint", "coordinates": [[1.0, 2.0], [3.0, 4.0]],
+    }
+    assert gj(st_linestring(mp)) == {
+        "type": "LineString", "coordinates": [[1.0, 2.0], [3.0, 4.0]],
+    }
+    mls = F.array(
+        F.array(F.array(lit(1.0), lit(2.0)), F.array(lit(3.0), lit(4.0))),
+        F.array(F.array(lit(5.0), lit(6.0)), F.array(lit(7.0), lit(8.0))),
+    )
+    assert gj(st_multilinestring(mls)) == {
+        "type": "MultiLineString",
+        "coordinates": [[[1.0, 2.0], [3.0, 4.0]], [[5.0, 6.0], [7.0, 8.0]]],
+    }
+    # polygon with exterior + one hole (from_geo_types.rs:352-360)
+    def ring(*pts):
+        return F.array(*[F.array(lit(x), lit(y)) for x, y in pts])
+
+    outer = ring((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0))
+    hole = ring((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0))
+    poly = st_polygon(F.array(outer, hole))
+    assert gj(poly) == {
+        "type": "Polygon",
+        "coordinates": [
+            [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]],
+            [[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]],
+        ],
+    }
+    mpoly = st_multipolygon(F.array(F.array(outer, hole), F.array(hole)))
+    assert gj(mpoly) == {
+        "type": "MultiPolygon",
+        "coordinates": [
+            [
+                [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]],
+                [[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]],
+            ],
+            [[[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]]],
+        ],
+    }
+    gc = st_geometry_collection(F.array(st_point(lit(1.0), lit(2.0)), st_line(lit(1.0), lit(2.0), lit(3.0), lit(4.0))))
+    assert gj(gc) == {
+        "type": "GeometryCollection",
+        "geometries": [
+            {"type": "Point", "coordinates": [1.0, 2.0]},
+            {"type": "LineString", "coordinates": [[1.0, 2.0], [3.0, 4.0]]},
+        ],
+    }
+
+
+def test_extractors_invert_constructors(spark):
+    from geojson_spark.functions.constructors import (
+        expect_multi_polygon,
+        expect_polygon,
+        feature_geometry,
+        line_string_positions,
+        multi_line_string_lines,
+        multi_point_positions,
+        multi_polygon_polygons,
+        polygon_rings,
+        st_multilinestring,
+        st_multipoint,
+        st_multipolygon,
+        st_polygon,
+    )
+
+    lit = F.lit
+
+    def ring(*pts):
+        return F.array(*[F.array(lit(x), lit(y)) for x, y in pts])
+
+    outer = ring((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0))
+    hole = ring((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0))
+    df = spark.range(1).select(
+        st_polygon(F.array(outer, hole)).alias("poly"),
+        st_multipolygon(F.array(F.array(outer, hole), F.array(hole))).alias("mpoly"),
+        st_multipoint(ring((1.0, 2.0), (3.0, 4.0))).alias("mpt"),
+        st_multilinestring(
+            F.array(ring((1.0, 2.0), (3.0, 4.0)), ring((5.0, 6.0), (7.0, 8.0)))
+        ).alias("mls"),
+    )
+    row = df.select(
+        polygon_rings(F.col("poly")).alias("rings"),
+        multi_polygon_polygons(F.col("mpoly")).alias("polys"),
+        multi_point_positions(F.col("mpt")).alias("pts"),
+        multi_line_string_lines(F.col("mls")).alias("lines"),
+        line_string_positions(F.col("mpt")).alias("ls"),
+    ).first()
+    O = [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]]
+    H = [[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]]
+    assert row.rings == [O, H]
+    assert row.polys == [[O, H], [H]]
+    assert row.pts == [[1.0, 2.0], [3.0, 4.0]]
+    assert row.lines == [[[1.0, 2.0], [3.0, 4.0]], [[5.0, 6.0], [7.0, 8.0]]]
+    assert row.ls == [[1.0, 2.0], [3.0, 4.0]]
+
+    # per-variant guards: pass-through on match, reference message on mismatch
+    assert df.where(expect_polygon(F.col("poly"))).count() == 1
+    assert df.where(expect_multi_polygon(F.col("mpoly"))).count() == 1
+    with pytest.raises(Exception, match="Expected type: `Polygon`, but found `MultiPoint`"):
+        df.where(expect_polygon(F.col("mpt"))).count()
+
+    # Feature with no geometry → FeatureHasNoGeometry (to_geo_types.rs:219-224)
+    nog = spark.range(1).select(
+        F.lit(None).cast(df.schema["poly"].dataType).alias("geometry")
+    )
+    assert df.where(feature_geometry(F.col("poly"))).count() == 1
+    with pytest.raises(Exception, match="without a geometry"):
+        nog.where(feature_geometry(F.col("geometry"))).count()
+
+
+def test_geometry_collection_to_features(spark):
+    from geojson_spark.functions.constructors import (
+        geometry_collection_to_features,
+        st_geometry_collection,
+        st_line,
+        st_point,
+    )
+
+    lit = F.lit
+    df = spark.range(1).select(
+        st_geometry_collection(
+            F.array(st_point(lit(1.0), lit(2.0)), st_line(lit(1.0), lit(2.0), lit(3.0), lit(4.0)))
+        ).alias("geometry")
+    )
+    feats = geometry_collection_to_features(df)
+    rows = feats.select("child_idx", "feature.geometry.geom_type").orderBy("child_idx").collect()
+    assert [(r.child_idx, r.geom_type) for r in rows] == [(0, "Point"), (1, "LineString")]
+    # Feature envelope per feature.rs:140-150: no id/properties, bbox copied (None here)
+    f = feats.select("feature.id_json", "feature.properties", "feature.bbox").first()
+    assert f.id_json is None and f.properties is None and f.bbox is None
+
+
 def test_pretty_print():
     src = '{"type":"Point","coordinates":[100.0,0.5]}'
     kind, g = parse_geojson(src)

@@ -105,6 +105,48 @@ def test_pip_join_matches_numpy_oracle(spark, images, polygons, index):
     assert len(got) == len(want)  # no duplicate pairs
 
 
+def test_pip_refine_no_poly_signature_collision(spark):
+    # Two polygons with the SAME vertex count and the SAME first/last
+    # vertex (both squares anchored at the origin, different sizes) — a
+    # content-signature grouping collides here and tests one polygon's
+    # points against the other's edges. Grouping by poly_id must not.
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            [_square_poly("big", 0.0, 0.0, 1.0), _square_poly("small", 0.0, 0.0, 0.2)]
+        )
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pt_id": [1, 2], "lon": [0.5, 0.1], "lat": [0.5, 0.1]})
+    )
+    got = set(
+        map(tuple, pip_join(pts, polys).select("pt_id", "poly_id").toPandas().values)
+    )
+    assert got == {(1, "big"), (2, "big"), (2, "small")}
+
+
+def test_pip_broadcast_bounded_by_exploded_cover(spark, polygons, monkeypatch):
+    # The broadcast gate must bound estimated post-explode (poly, cell)
+    # rows, not raw polygon count: with a tiny budget even 4 polygons must
+    # fall back to a shuffled equi-join.
+    from geojson_spark.operators import joins as joins_mod
+
+    monkeypatch.setattr(joins_mod, "PIP_BROADCAST_MAX_ROWS", 4)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pt_id": [1], "lon": [-74.2], "lat": [40.6]})
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = pip_join(pts, polygons)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # and with the real budget the same side broadcasts
+    monkeypatch.setattr(joins_mod, "PIP_BROADCAST_MAX_ROWS", 4_000_000)
+    plan = pip_join(pts, polygons)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+
+
 @pytest.mark.parametrize("metric", ["haversine", "euclidean_deg2"])
 def test_knn_exact_vs_bruteforce(spark, images, metric):
     queries = spark.createDataFrame(

@@ -211,6 +211,42 @@ def test_set_similarity_join_matches_bruteforce(spark):
     assert got == sorted(ref)
 
 
+def test_set_similarity_auto_picks_prefix_on_boilerplate(spark):
+    """A boilerplate-heavy corpus (every doc shares a license-header
+    shingle) must route method='auto' to the prefix path — the count
+    path's Σ df² blows up on exactly this shape — and both paths must
+    return identical pairs."""
+    from geojson_spark.operators.dedup import (
+        _shingle_sets,
+        choose_set_similarity_method,
+        set_similarity_join,
+    )
+
+    boiler = "lorem ipsum dolor sit amet standard license header text"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(40)),
+                "text": [f"{boiler} unique body {i} alpha beta {i * 7}" for i in range(40)],
+            }
+        )
+    )
+    toks = _shingle_sets(docs, "doc_id", "text", 3)
+    # 40 docs × ~8 shared shingles → Σ df·(df-1)/2 ≈ 8·780; tiny budget
+    # forces the decision the same way web-scale df would
+    assert choose_set_similarity_method(toks, count_budget=1000) == "prefix"
+    assert choose_set_similarity_method(toks, count_budget=10**9) == "count"
+
+    kw = dict(threshold_milli=300, k_shingle=3)
+    got_count = sorted(map(tuple, set_similarity_join(docs, method="count", **kw).collect()))
+    got_prefix = sorted(map(tuple, set_similarity_join(docs, method="prefix", **kw).collect()))
+    got_auto = sorted(
+        map(tuple, set_similarity_join(docs, method="auto", auto_count_budget=1000, **kw).collect())
+    )
+    assert got_count == got_prefix == got_auto
+    assert len(got_count) > 0
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup: LSH recall on planted dups; blocked pairs exactness
 # ---------------------------------------------------------------------------
