@@ -415,6 +415,54 @@ def q_polygon_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fidelity_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fidelity corners through the oracle gate (P9/S1): features carrying
+    FOREIGN MEMBERS, 3-D positions, and string-vs-number ids, built in
+    SQL, round-tripped parse → serialize → reparse, then reduced to
+    scalars a DuckDB oracle reproduces. Any drift in foreign-member
+    preservation, z-coordinate handling, or the id string|number union
+    breaks the value hash."""
+    from geojson_spark.sources.geojson import parse_features_udf, to_feature_json
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey")
+    # exact binary fractions only: string round-trip is bit-identical
+    x = (k * 37) % 300 - 160 + 0.25
+    y = (k * 53) % 140 - 70 + 0.5
+    z = k + 0.125
+    id_json = F.when(k % 2 == 0, F.concat(F.lit('"nat-'), k.cast("string"), F.lit('"'))).otherwise(
+        (k * 10).cast("string")
+    )
+    doc = F.concat(
+        F.lit('{"type":"Feature","geometry":{"type":"Point","coordinates":['),
+        F.concat_ws(",", x.cast("string"), y.cast("string"), z.cast("string")),
+        F.lit(']},"properties":{"name":"p'),
+        k.cast("string"),
+        F.lit('"},"id":'),
+        id_json,
+        F.lit(',"rank":'),
+        (k * 3).cast("string"),
+        F.lit(',"src":"syn"}'),
+    )
+    parsed = nat.select(
+        k.cast("bigint").alias("fid"), F.explode(parse_features_udf(doc)).alias("f")
+    )
+    reser = parsed.select("fid", to_feature_json(F.col("f")).alias("doc2"))
+    round2 = reser.select("fid", F.explode(parse_features_udf(F.col("doc2"))).alias("f"))
+    c = F.col("f.geometry.coords")
+    return round2.select(
+        "fid",
+        F.element_at(c, 1).alias("x"),
+        F.element_at(c, 2).alias("y"),
+        F.element_at(c, 3).alias("z"),
+        F.col("f.geometry.dim").cast("bigint").alias("dim"),
+        F.col("f.id_json").alias("id_json"),
+        F.get_json_object(F.col("f.foreign_members"), "$.rank").cast("bigint").alias("rank"),
+        F.get_json_object(F.col("f.foreign_members"), "$.src").alias("src"),
+        F.get_json_object(F.col("f.properties"), "$.name").alias("name"),
+    )
+
+
 def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic counts — no SQL oracle (rows-only check);
     accuracy vs the table's lang labels is asserted in pytest."""
@@ -953,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": wrap(q_ann_topk),
         "geojson_parse": wrap(q_geojson_parse),
         "polygon_roundtrip": wrap(q_polygon_roundtrip),
+        "fidelity_roundtrip": wrap(q_fidelity_roundtrip),
         "lang_distribution": wrap(q_lang_distribution),
         "minhash_near_dups": wrap(q_minhash_near_dups),
         "simhash_near_dups": wrap(q_simhash_near_dups),
@@ -1129,6 +1178,20 @@ def oracle_sql() -> dict[str, str]:
                    ((n_nationkey * 37) % 300 - 160 + 0.0005) + 12.0 AS x1,
                    ((n_nationkey * 53) % 140 - 75 + 0.0005) + 9.0 AS y1,
                    10 AS n_coords
+            FROM nation
+        """,
+        "fidelity_roundtrip": """
+            SELECT n_nationkey::BIGINT AS fid,
+                   (n_nationkey * 37) % 300 - 160 + 0.25 AS x,
+                   (n_nationkey * 53) % 140 - 70 + 0.5 AS y,
+                   n_nationkey + 0.125 AS z,
+                   3::BIGINT AS dim,
+                   CASE WHEN n_nationkey % 2 = 0
+                        THEN '"nat-' || n_nationkey || '"'
+                        ELSE cast(n_nationkey * 10 as varchar) END AS id_json,
+                   (n_nationkey * 3)::BIGINT AS rank,
+                   'syn' AS src,
+                   'p' || n_nationkey AS name
             FROM nation
         """,
         "window_topn": """

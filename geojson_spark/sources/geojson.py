@@ -157,9 +157,20 @@ def read_geojson(
             for fpath in pdf["path"]:
                 local = fpath[len("file:") :] if fpath.startswith("file:") else fpath
                 with open(local, encoding="utf-8") as fh:
+                    # grow the sniff window until the top-level "type" is
+                    # visible (a long foreign-member preamble can push it
+                    # past any fixed prefix); cap keeps memory bounded
                     head = fh.read(4096)
-                    fh.seek(0)
                     kind = _sniff_kind(head)
+                    while kind is None and len(head) < (1 << 24):
+                        more = fh.read(1 << 16)
+                        if not more:
+                            break
+                        head += more
+                        kind = _sniff_kind(head)
+                    if kind is None:
+                        kind = "single"
+                    fh.seek(0)
                     if kind == "FeatureCollection":
                         batch: list[dict] = []
                         idx = 0
@@ -206,10 +217,78 @@ def read_geojson(
     return out
 
 
-def _sniff_kind(head: str) -> str:
+def _top_level_type(text: str) -> str | None:
+    """Value of the TOP-LEVEL ``"type"`` member of a JSON object prefix,
+    via a string/nesting-aware scan — a substring probe mis-routes when a
+    property value contains the literal ``"FeatureCollection"`` or when a
+    long foreign-member preamble precedes the type key. Returns None when
+    ``text`` ends before the answer is known (caller reads more), and
+    ``""`` when the object closes without a type member."""
+    i, n = 0, len(text)
+    while i < n and text[i].isspace():
+        i += 1
+    if i >= n:
+        return None
+    if text[i] != "{":
+        return ""
+    depth = 0
+    key_next = True
+    while i < n:
+        ch = text[i]
+        if ch == '"':
+            j = i + 1
+            while j < n:
+                c = text[j]
+                if c == "\\":
+                    j += 2
+                    continue
+                if c == '"':
+                    break
+                j += 1
+            if j >= n:
+                return None  # truncated mid-string
+            if depth == 1 and key_next and text[i + 1 : j] == "type":
+                k = j + 1
+                while k < n and text[k] in " \t\r\n":
+                    k += 1
+                if k < n and text[k] == ":":
+                    v = k + 1
+                    while v < n and text[v] in " \t\r\n":
+                        v += 1
+                    if v >= n:
+                        return None
+                    if text[v] == '"':
+                        e = text.find('"', v + 1)  # type names have no escapes
+                        return None if e == -1 else text[v + 1 : e]
+                    return ""  # non-string type: not a GeoJSON envelope
+                # a key literally named "type" must be followed by ":";
+                # anything else is malformed — fall through as unknown
+            if depth == 1 and key_next:
+                key_next = False
+            i = j + 1
+            continue
+        if ch in "{[":
+            depth += 1
+        elif ch in "}]":
+            depth -= 1
+            if depth == 0:
+                return ""  # object closed without a type member
+        elif ch == "," and depth == 1:
+            key_next = True
+        elif ch == ":" and depth == 1:
+            key_next = False
+        i += 1
+    return None
+
+
+def _sniff_kind(head: str) -> str | None:
+    """Route a document prefix: "FeatureCollection" (streamed feature-by-
+    feature), "ndjson", "single" (whole-doc parse), or None = undecided —
+    the caller should extend ``head`` and retry."""
+    t = _top_level_type(head)
     s = head.lstrip()
-    if "\n" in head.strip() and s.startswith("{") and '"FeatureCollection"' not in head:
-        # possibly ndjson — cheap heuristic; full docs also parse fine per-line
+    if "\n" in head.strip() and s.startswith("{") and t != "FeatureCollection":
+        # possibly ndjson — first line is a complete JSON document
         first = head.splitlines()[0].strip()
         if first.endswith("}"):
             try:
@@ -217,8 +296,10 @@ def _sniff_kind(head: str) -> str:
                 return "ndjson"
             except ValueError:
                 pass
-    if '"FeatureCollection"' in head:
+    if t == "FeatureCollection":
         return "FeatureCollection"
+    if t is None:
+        return None
     return "single"
 
 

@@ -74,3 +74,59 @@ def test_large_real_document():
     for f in feats[:5] + feats[-5:]:
         obj = json.loads(f)
         assert obj["type"] == "Feature"
+
+
+# ---------------------------------------------------------------------------
+# document-kind sniffing (_sniff_kind / _top_level_type)
+# ---------------------------------------------------------------------------
+
+
+def test_sniff_property_containing_featurecollection_literal():
+    from geojson_spark.sources.geojson import _sniff_kind
+
+    doc = ('{"type":"Feature","geometry":{"type":"Point","coordinates":[1.0,2.0]},'
+           '"properties":{"note":"this mentions \\"FeatureCollection\\" in prose"}}')
+    assert _sniff_kind(doc) == "single"
+
+
+def test_sniff_long_foreign_member_preamble():
+    from geojson_spark.sources.geojson import _sniff_kind, _top_level_type
+
+    preamble = '{"meta":"' + "x" * 8192 + '","type":"FeatureCollection","features":[]}'
+    # undecided on a 4 KB prefix (mid-string), resolved with the full doc
+    assert _sniff_kind(preamble[:4096]) is None
+    assert _sniff_kind(preamble) == "FeatureCollection"
+    assert _top_level_type(preamble) == "FeatureCollection"
+
+
+def test_sniff_nested_type_key_not_top_level():
+    from geojson_spark.sources.geojson import _top_level_type
+
+    doc = '{"properties":{"type":"FeatureCollection"},"type":"Feature","geometry":null}'
+    assert _top_level_type(doc) == "Feature"
+
+
+def test_sniff_ndjson_and_truncation():
+    from geojson_spark.sources.geojson import _sniff_kind, _top_level_type
+
+    nd = '{"type":"Feature","geometry":null,"properties":null}\n' * 3
+    assert _sniff_kind(nd) == "ndjson"
+    assert _top_level_type('{"ty') is None  # truncated mid-key
+    assert _top_level_type('{"a":1}') == ""  # closed, no type member
+
+
+def test_read_geojson_routes_preamble_file(spark, tmp_path):
+    import json as _json
+
+    from geojson_spark.sources.geojson import read_geojson
+
+    fc = {"meta": "y" * 8192, "type": "FeatureCollection", "features": [
+        {"type": "Feature", "geometry": {"type": "Point", "coordinates": [3.0, 4.0]},
+         "properties": {"k": 1}},
+    ]}
+    p = tmp_path / "pre.geojson"
+    p.write_text(_json.dumps(fc))
+    df = read_geojson(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].geometry.coords == [3.0, 4.0]
