@@ -548,3 +548,30 @@ def serialize_geojson_pretty(kind: str, obj: dict, indent: int = 2) -> str:
     """
     compact = serialize_geojson(kind, obj)
     return json.dumps(json.loads(compact), indent=indent, ensure_ascii=False)
+
+
+# ---------------------------------------------------------------------------
+# C9 — fallible GeoJson → {Geometry, Feature, FeatureCollection}
+# (src/geojson.rs:118-167: TryFrom with ExpectedType on the wrong variant)
+# ---------------------------------------------------------------------------
+
+
+def geojson_to_geometry(kind: str, obj: dict) -> dict:
+    """TryFrom<GeoJson> for Geometry (src/geojson.rs:118-133)."""
+    if kind == "Geometry":
+        return obj
+    raise ExpectedType("Geometry", kind)
+
+
+def geojson_to_feature(kind: str, obj: dict) -> dict:
+    """TryFrom<GeoJson> for Feature (src/geojson.rs:135-150)."""
+    if kind == "Feature":
+        return obj
+    raise ExpectedType("Feature", kind)
+
+
+def geojson_to_feature_collection(kind: str, obj: dict) -> dict:
+    """TryFrom<GeoJson> for FeatureCollection (src/geojson.rs:152-167)."""
+    if kind == "FeatureCollection":
+        return obj
+    raise ExpectedType("FeatureCollection", kind)

@@ -363,6 +363,66 @@ def parse_features_udf(docs_col, strict: bool = True):
     return _parse(docs_col)
 
 
+def parse_geometry_udf(geom_json_col, strict: bool = True):
+    """C2 — de::deserialize_geometry / deserialize_optional_geometry
+    (src/de.rs:228-238, 274-286): field-level GeoJSON geometry string →
+    geometry struct. Null input stays null (the optional variant); a
+    non-geometry document raises ExpectedType (strict) or nulls out."""
+    from geojson_spark.functions.geojson_codec import geojson_to_geometry, parse_geojson
+    from geojson_spark.schema import GEOMETRY_STRUCT
+
+    names = [f.name for f in GEOMETRY_STRUCT.fields]
+    null_row = {n: None for n in names}
+
+    @F.pandas_udf(GEOMETRY_STRUCT)
+    def _parse(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for doc in s:
+            if doc is None:
+                rows.append(null_row)
+                continue
+            try:
+                kind, obj = parse_geojson(doc)
+                rows.append(geojson_to_geometry(kind, obj))
+            except Exception:
+                if strict:
+                    raise
+                rows.append(null_row)
+        return pd.DataFrame(rows, columns=names)
+
+    return _parse(geom_json_col)
+
+
+def parse_feature_udf(doc_col, strict: bool = True):
+    """C3 — de::deserialize_single_feature / from_feature (src/de.rs:
+    341-349, 392-400): ONE Feature document per row → feature struct
+    (no explode). A FeatureCollection or bare geometry raises
+    ExpectedType (strict) or nulls out."""
+    from geojson_spark.functions.geojson_codec import geojson_to_feature, parse_geojson
+
+    names = [f.name for f in FEATURE_SCHEMA.fields]
+    null_row = {n: None for n in names}
+
+    @F.pandas_udf(FEATURE_SCHEMA)
+    def _parse(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for doc in s:
+            if doc is None:
+                rows.append(null_row)
+                continue
+            try:
+                kind, obj = parse_geojson(doc)
+                f = geojson_to_feature(kind, obj)
+                rows.append({"feature_idx": 0, **{k: f.get(k) for k in names if k != "feature_idx"}})
+            except Exception:
+                if strict:
+                    raise
+                rows.append(null_row)
+        return pd.DataFrame(rows, columns=names)
+
+    return _parse(doc_col)
+
+
 def _norm_geom(g) -> dict | None:
     """Arrow row dict → codec geometry dict (None-safe, ndarray → list)."""
     if g is None or g.get("geom_type") is None:

@@ -290,3 +290,57 @@ def test_pretty_print():
     # reparse → compact identical
     k2, g2 = parse_geojson(pretty)
     assert serialize_geojson(k2, g2) == src
+
+
+def test_field_level_parse_udfs(spark):
+    """C2/C3 — field-level geometry parse and single-feature parse, with
+    the reference's ExpectedType on kind mismatch (src/geojson.rs:118-150)."""
+    from geojson_spark.sources.geojson import parse_feature_udf, parse_geometry_udf
+
+    df = spark.createDataFrame(
+        [
+            ('{"type":"Point","coordinates":[1.0,2.0]}',
+             '{"type":"Feature","geometry":{"type":"Point","coordinates":[3.0,4.0]},'
+             '"properties":{"a":1},"id":7}'),
+            (None, None),
+        ],
+        "gj string, fj string",
+    )
+    rows = df.select(
+        parse_geometry_udf(F.col("gj")).alias("g"),
+        parse_feature_udf(F.col("fj")).alias("f"),
+    ).collect()
+    got = {r.g.geom_type: r for r in rows}
+    assert got[None] is not None  # null input stays null
+    ok = got["Point"]
+    assert ok.g.coords == [1.0, 2.0]
+    assert ok.f.geometry.coords == [3.0, 4.0] and ok.f.id_json == "7"
+    assert json.loads(ok.f.properties) == {"a": 1}
+
+    # kind mismatch raises the reference's ExpectedType message
+    fc = spark.createDataFrame(
+        [('{"type":"FeatureCollection","features":[]}',)], "doc string"
+    )
+    with pytest.raises(Exception, match="Expected GeoJSON type `Geometry`, found `FeatureCollection`"):
+        fc.select(parse_geometry_udf(F.col("doc")).alias("g")).collect()
+    with pytest.raises(Exception, match="Expected GeoJSON type `Feature`, found `FeatureCollection`"):
+        fc.select(parse_feature_udf(F.col("doc")).alias("f")).collect()
+    # permissive mode nulls out instead
+    deg = fc.select(parse_geometry_udf(F.col("doc"), strict=False).alias("g")).first()
+    assert deg.g.geom_type is None
+
+
+def test_geojson_kind_extractors():
+    from geojson_spark.functions.geojson_codec import (
+        geojson_to_feature,
+        geojson_to_feature_collection,
+        geojson_to_geometry,
+        parse_geojson,
+    )
+
+    k, obj = parse_geojson('{"type":"Point","coordinates":[1.0,2.0]}')
+    assert geojson_to_geometry(k, obj)["geom_type"] == "Point"
+    with pytest.raises(Exception, match="Expected GeoJSON type `FeatureCollection`, found `Geometry`"):
+        geojson_to_feature_collection(k, obj)
+    with pytest.raises(Exception, match="Expected GeoJSON type `Feature`, found `Geometry`"):
+        geojson_to_feature(k, obj)
