@@ -97,3 +97,47 @@ def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame(rows, columns=["video_id", "frame_no", "mean_px"])
 
     return videos.mapInPandas(sample, schema="video_id string, frame_no long, mean_px double")
+
+
+def audio_features(
+    audio: DataFrame, *, frame_samples: int = 1024, id_col: str = "audio_id"
+) -> DataFrame:
+    """Audio feature extraction — plumbing-real, codec-stubbed.
+
+    fmt='rawpcm16' treats the binary column as mono int16 little-endian
+    PCM (deterministic fake for tests); compressed containers (mp3/ogg/
+    flac) raise NotImplementedError at the decode seam, mirroring
+    ``decode_any``. Per ``frame_samples`` window: RMS, zero-crossing
+    count, peak — the standard cheap VAD/quality signals. All math is
+    vectorized NumPy over the whole clip (reshape + axis reductions);
+    mapInPandas keeps the binary column in Arrow buffers end-to-end.
+    """
+
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.fmt != "rawpcm16":
+                    raise NotImplementedError(f"no audio codec for fmt={r.fmt!r}")
+                pcm = np.frombuffer(r.bytes, dtype="<i2").astype(np.float64) / 32768.0
+                n_frames = len(pcm) // frame_samples
+                if n_frames == 0:
+                    rows.append({id_col: getattr(r, id_col), "frame_no": 0,
+                                 "rms": 0.0, "zero_crossings": 0, "peak": 0.0})
+                    continue
+                fr = pcm[: n_frames * frame_samples].reshape(n_frames, frame_samples)
+                rms = np.sqrt((fr * fr).mean(axis=1))
+                zc = (np.diff(np.signbit(fr), axis=1) != 0).sum(axis=1)
+                peak = np.abs(fr).max(axis=1)
+                for i in range(n_frames):
+                    rows.append({id_col: getattr(r, id_col), "frame_no": i,
+                                 "rms": float(rms[i]), "zero_crossings": int(zc[i]),
+                                 "peak": float(peak[i])})
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_no", "rms", "zero_crossings", "peak"]
+            )
+
+    return audio.mapInPandas(
+        extract,
+        schema=f"{id_col} string, frame_no long, rms double, zero_crossings long, peak double",
+    )

@@ -217,6 +217,32 @@ def read_geojson(
     return out
 
 
+def read_geojson_stream(spark: SparkSession, path: str, properties_schema=None) -> DataFrame:
+    """R-family, streaming variant: a Structured Streaming source over
+    newline-delimited GeoJSON (one Feature document per line).
+
+    ndjson is the only framing that streams: a FeatureCollection envelope
+    is not complete until its closing bracket, which is exactly why the
+    reference reads FCs through a pull-based FeatureIterator
+    (src/feature_iterator.rs:30-32, O(1-feature) memory) and web-scale
+    pipelines ship feature-per-line. ``spark.readStream.text`` →
+    the same Arrow-batched ``parse_feature_udf`` as the batch path, so
+    stream and batch parses are identical by construction; downstream
+    cell assignment / windowed aggs / stateful ops compose unchanged.
+    With ``properties_schema``, properties flatten onto typed columns
+    (streaming-safe: a pure projection).
+    """
+    lines = spark.readStream.text(path)
+    feats = (
+        lines.where(F.length(F.trim(F.col("value"))) > 0)
+        .select(parse_feature_udf(F.col("value")).alias("f"))
+        .select("f.*")
+    )
+    if properties_schema is not None:
+        feats = features_to_table(feats, properties_schema)
+    return feats
+
+
 def _top_level_type(text: str) -> str | None:
     """Value of the TOP-LEVEL ``"type"`` member of a JSON object prefix,
     via a string/nesting-aware scan — a substring probe mis-routes when a

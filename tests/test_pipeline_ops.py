@@ -194,3 +194,33 @@ def test_multimodal_features_and_stub(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|no video codec"):
         frame_sample(bad).collect()
+
+def test_audio_features_plumbing(spark):
+    import numpy as np
+
+    from geojson_spark.operators.multimodal import audio_features
+
+    rng = np.random.default_rng(11)
+    # 3 frames of 1024 samples: silence, full-scale square wave, noise
+    silence = np.zeros(1024, dtype=np.int16)
+    square = np.tile(np.array([30000, -30000], dtype=np.int16), 512)
+    noise = (rng.standard_normal(1024) * 8000).astype(np.int16)
+    pcm = np.concatenate([silence, square, noise]).astype("<i2").tobytes()
+    df = spark.createDataFrame(
+        [("a1", pcm, "rawpcm16")], "audio_id string, bytes binary, fmt string"
+    )
+    rows = {r.frame_no: r for r in audio_features(df).collect()}
+    assert len(rows) == 3
+    assert rows[0].rms == 0.0 and rows[0].zero_crossings == 0
+    assert abs(rows[1].rms - 30000 / 32768.0) < 1e-9
+    assert rows[1].zero_crossings == 1023  # alternating signs
+    assert 0.0 < rows[2].rms < 1.0 and rows[2].zero_crossings > 100
+    # numpy oracle for the noise frame
+    f = noise.astype(np.float64) / 32768.0
+    assert abs(rows[2].rms - float(np.sqrt((f * f).mean()))) < 1e-12
+
+    bad = spark.createDataFrame(
+        [("a2", b"\x00\x00", "mp3")], "audio_id string, bytes binary, fmt string"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no audio codec"):
+        audio_features(bad).collect()

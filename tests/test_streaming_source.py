@@ -1,0 +1,103 @@
+"""Streaming GeoJSON source: ndjson feature stream == batch parse, and it
+composes with cell assignment + aggregation downstream."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from geojson_spark.functions.spark_funcs import grid_cell
+from geojson_spark.sources.geojson import read_geojson, read_geojson_stream
+
+
+def _feature(i: int) -> dict:
+    return {
+        "type": "Feature",
+        "id": i,
+        "geometry": {"type": "Point", "coordinates": [float(i % 30) - 15.0, float(i % 20) - 10.0]},
+        "properties": {"name": f"f{i}", "score": i / 4.0},
+    }
+
+
+def _write_ndjson(path, lo, hi):
+    with open(path, "w") as fh:
+        for i in range(lo, hi):
+            fh.write(json.dumps(_feature(i)) + "\n")
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    d = tmp_path / "nd"
+    d.mkdir()
+    _write_ndjson(d / "a.ndjson", 0, 40)
+    _write_ndjson(d / "b.ndjson", 40, 100)
+
+    feats = read_geojson_stream(spark, str(d))
+    q = (
+        feats.writeStream.format("memory")
+        .queryName("gj_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("gj_stream")
+    assert got.count() == 100
+
+    batch = read_geojson(spark, str(d))
+    key = lambda r: (r.id_json, tuple(r.geometry.coords))  # noqa: E731
+    got_rows = {key(r) for r in got.collect()}
+    batch_rows = {key(r) for r in batch.collect()}
+    assert got_rows == batch_rows
+
+    # properties survive + typed flattening works on the stream
+    schema = StructType(
+        [StructField("name", StringType()), StructField("score", DoubleType())]
+    )
+    typed = read_geojson_stream(spark, str(d), properties_schema=schema)
+    q2 = (
+        typed.writeStream.format("memory")
+        .queryName("gj_typed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    trows = spark.table("gj_typed").collect()
+    assert {r.name for r in trows} == {f"f{i}" for i in range(100)}
+    assert all(abs(r.score * 4 - int(r.name[1:])) < 1e-12 for r in trows)
+
+
+def test_stream_composes_with_cell_agg(spark, tmp_path):
+    d = tmp_path / "nd2"
+    d.mkdir()
+    _write_ndjson(d / "a.ndjson", 0, 60)
+
+    feats = read_geojson_stream(spark, str(d))
+    cells = feats.select(
+        F.element_at("geometry.coords", 1).alias("lon"),
+        F.element_at("geometry.coords", 2).alias("lat"),
+    ).withColumn("cell_id", grid_cell(F.col("lon"), F.col("lat")))
+    agg = cells.groupBy("cell_id").agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("gj_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.cell_id: r.n for r in spark.table("gj_cells").collect()}
+    # oracle: batch over the same derivation
+    want_df = (
+        spark.createDataFrame(
+            [(float(i % 30) - 15.0, float(i % 20) - 10.0) for i in range(60)],
+            "lon double, lat double",
+        )
+        .withColumn("cell_id", grid_cell(F.col("lon"), F.col("lat")))
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {r.cell_id: r.n for r in want_df.collect()}
+    assert got == want
