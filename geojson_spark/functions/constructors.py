@@ -245,6 +245,16 @@ def geometry_collection_to_features(
     )
 
 
+def geometries_to_collection(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """C9: FromIterator<geo Geometry> for GeoJson (src/geojson.rs:93-98) —
+    collect a geometry column into ONE GeometryCollection row. The
+    collect_list agg is the Spark spelling of the iterator fold; use per
+    group-by key for per-partition collections."""
+    return df.agg(F.collect_list(geometry_col).alias("_geoms")).select(
+        st_geometry_collection(F.col("_geoms")).alias(geometry_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # C7 typed extractors
 # ---------------------------------------------------------------------------

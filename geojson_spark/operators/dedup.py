@@ -242,16 +242,20 @@ def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, k: int):
     return docs.select(F.col(id_col).alias("id"), F.array_distinct(sh).alias("sh"))
 
 
-def choose_set_similarity_method(toks: DataFrame, *, count_budget: int = 200_000_000) -> str:
+def choose_set_similarity_method(
+    toks: DataFrame, *, count_budget: int = 200_000_000, scale: float = 1.0
+) -> str:
     """Pick the exact set-similarity strategy from the shingle df profile.
 
     The count path materializes Σ df·(df−1)/2 pre-agg pair rows (one per
     co-occurrence); when that exceeds ``count_budget`` — a few boilerplate
     shingles at web scale get df in the millions, so df² dominates — the
     prefix-filtered AllPairs path is the only one that survives. The probe
-    is a single groupBy+sum over the flat index, O(tokens) — an extra pass,
-    but the prefix path needs the same df table anyway and the count path
-    it guards is quadratic in df.
+    is a groupBy+sum over the flat index of ``toks``; callers probing a
+    document SAMPLE of fraction f pass ``scale = 1/f²`` (each unordered
+    co-occurrence survives sampling with probability f², so dividing by f²
+    is the unbiased scale-up), keeping the probe O(sample) at any corpus
+    size.
     """
     probe = (
         toks.select(F.explode("sh").alias("w"))
@@ -260,7 +264,7 @@ def choose_set_similarity_method(toks: DataFrame, *, count_budget: int = 200_000
         .agg(F.sum(F.col("df") * (F.col("df") - F.lit(1))).alias("pairs2"))
         .first()
     )
-    pairs2 = (probe["pairs2"] or 0) // 2
+    pairs2 = (probe["pairs2"] or 0) / 2.0 * scale
     return "prefix" if pairs2 > count_budget else "count"
 
 
@@ -313,7 +317,21 @@ def set_similarity_join(
     toks = _shingle_sets(docs, id_col, text_col, k_shingle).withColumn("n", F.size("sh"))
 
     if method == "auto":
-        method = choose_set_similarity_method(toks, count_budget=auto_count_budget)
+        # probe a bounded document sample so the decision costs O(sample)
+        # regardless of corpus size (one metadata-cheap count + ~4k-doc
+        # shingle pass), scaled back up by 1/f²
+        n_docs = docs.count()
+        frac = min(1.0, 4096.0 / max(n_docs, 1))
+        if frac >= 1.0:
+            probe_toks, scale = toks, 1.0
+        else:
+            probe_toks = _shingle_sets(
+                docs.sample(False, frac, seed=7), id_col, text_col, k_shingle
+            )
+            scale = 1.0 / (frac * frac)
+        method = choose_set_similarity_method(
+            probe_toks, count_budget=auto_count_budget, scale=scale
+        )
 
     if method == "count":
         flat = toks.select("id", "n", F.explode("sh").alias("w"))

@@ -344,3 +344,15 @@ def test_geojson_kind_extractors():
         geojson_to_feature_collection(k, obj)
     with pytest.raises(Exception, match="Expected GeoJSON type `Feature`, found `Geometry`"):
         geojson_to_feature(k, obj)
+
+
+def test_geometries_to_collection(spark):
+    from geojson_spark.functions.constructors import geometries_to_collection, st_point
+
+    df = spark.range(3).select(
+        st_point(F.col("id").cast("double"), F.lit(1.0)).alias("geometry")
+    )
+    gc = geometries_to_collection(df).first().geometry
+    assert gc.geom_type == "GeometryCollection"
+    children = json.loads(gc.geoms_json)
+    assert {tuple(c["coordinates"]) for c in children} == {(0.0, 1.0), (1.0, 1.0), (2.0, 1.0)}
