@@ -133,6 +133,193 @@ def _nation_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(rows))
 
 
+# ---------------------------------------------------------------------------
+# LSH oracle SQL generators: DuckDB replicas of the MinHash and SimHash
+# pipelines, bit-exact. Both engines share md5 as the base string hash and
+# integer mod-2^64 arithmetic, so candidacy (band / chunk collisions) —
+# not just the exact-verify step — is reproduced in SQL. HUGEINT holds
+# the unsigned 64-bit values; products that would exceed 2^127 use a
+# 32-bit split multiply.
+# ---------------------------------------------------------------------------
+
+_P64 = "18446744073709551616"  # 2^64
+
+
+def _sql_mulmod(x: str, a: str) -> str:
+    """(x * a) mod 2^64 for x, a < 2^64 without overflowing HUGEINT."""
+    return (
+        f"((((({x}) // 4294967296) * ({a})) % {_P64} * 4294967296"
+        f" + (({x}) % 4294967296) * ({a})) % {_P64})"
+    )
+
+
+def _sql_md5_u64(col: str) -> str:
+    """First 8 md5 bytes little-endian as HUGEINT — matches
+    ``_hash64_str`` (functions/text.py)."""
+
+    def byte(b):
+        c1 = f"substr({col}, {2 * b + 1}, 1)"
+        c2 = f"substr({col}, {2 * b + 2}, 1)"
+        return (
+            f"((strpos('0123456789abcdef', {c1}) - 1) * 16"
+            f" + (strpos('0123456789abcdef', {c2}) - 1))"
+        )
+
+    return "(" + " + ".join(f"{byte(b)}::HUGEINT * {1 << (8 * b)}" for b in range(8)) + ")"
+
+
+def _minhash_oracle_sql(
+    k: int = 5, n_hashes: int = 64, n_bands: int = 16, threshold: float = 0.5
+) -> str:
+    """DuckDB replica of minhash_lsh_dedup: shingle → md5 base → 64
+    universal-hash remixes → per-band FNV fold → band-collision candidates
+    → exact-Jaccard verify. Empty documents produce no shingles here while
+    Spark gives them all-zero signatures; such pairs verify to jaccard 0
+    and are filtered on both sides, so outputs agree."""
+    rows = n_hashes // n_bands
+    fnv_off = 0xCBF29CE484222325
+    fnv_prime = 0x100000001B3
+    gold = 0x9E3779B97F4A7C15
+    mix2 = 0xC2B2AE3D27D4EB4F
+    fold_cols = [f"{fnv_off}::HUGEINT + band AS h0"]
+    for r in range(rows):
+        fold_cols.append(
+            _sql_mulmod(f"xor(h{r}::UBIGINT, v{r + 1}::UBIGINT)::HUGEINT", str(fnv_prime))
+            + f" AS h{r + 1}"
+        )
+    pivot_cols = ", ".join(
+        f"max(CASE WHEN (i - 1) % {rows} = {r} THEN sig END) AS v{r + 1}"
+        for r in range(rows)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           CASE WHEN len(words) >= {k}
+                THEN array_to_string(words[i:i+{k - 1}], ' ')
+                ELSE array_to_string(words, ' ') END AS shingle
+    FROM w, LATERAL (
+      SELECT unnest(generate_series(1, greatest(len(words) - {k - 1}, 1))) AS i
+    )
+    WHERE len(words) > 0
+  )
+),
+base AS (
+  SELECT doc_id, {_sql_md5_u64('md5(shingle)')} AS b FROM sh
+),
+ab AS (
+  SELECT i,
+         CASE WHEN (i * {gold}::HUGEINT) % {_P64} % 2 = 0
+              THEN (i * {gold}::HUGEINT) % {_P64} + 1
+              ELSE (i * {gold}::HUGEINT) % {_P64} END AS a,
+         (i * {mix2}::HUGEINT) % {_P64} AS bb
+  FROM (SELECT unnest(generate_series(1, {n_hashes})) AS i)
+),
+sig AS (
+  SELECT doc_id, i,
+         min(({_sql_mulmod('base.b', 'ab.a')} + ab.bb) % {_P64}) AS sig
+  FROM base CROSS JOIN ab
+  GROUP BY doc_id, i
+),
+sig_bands AS (
+  SELECT doc_id, (i - 1) // {rows} AS band, {pivot_cols}
+  FROM sig GROUP BY doc_id, band
+),
+keys AS (
+  SELECT doc_id, band, {', '.join(fold_cols)},
+         ((h{rows}::UBIGINT & {0x7FFFFFFFFFFFFFFF}::UBIGINT)
+          | (band::UBIGINT << 56))::BIGINT AS band_key
+  FROM sig_bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+counts AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       floor((i.n_inter::DOUBLE / greatest(1, ca.n + cb.n - i.n_inter)) * 1000) / 1000
+         AS jaccard
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.id_a
+JOIN counts cb ON cb.doc_id = i.id_b
+WHERE i.n_inter::DOUBLE / greatest(1, ca.n + cb.n - i.n_inter) >= {threshold!r}
+"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB replica of simhash_dedup: md5-hashed unigram+bigram features
+    → per-bit vote sums → 64-bit SimHash → pigeonhole chunk candidates →
+    bit_count(xor) verify."""
+    n_chunks = max_hamming + 1
+    bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
+    chunk_rows = []
+    for i in range(n_chunks):
+        lo, width = bounds[i], bounds[i + 1] - bounds[i]
+        mask = (1 << width) - 1
+        chunk_rows.append(
+            f"SELECT doc_id, h, {i} AS chunk_no,"
+            f" (h // {1 << lo}) % {mask + 1} AS chunk FROM hashes"
+        )
+    chunks_sql = " UNION ALL ".join(chunk_rows)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, f FROM (
+    SELECT doc_id, unnest(words) AS f FROM w
+    UNION ALL
+    SELECT doc_id, words[i] || ' ' || words[i + 1] AS f
+    FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 1)) AS i)
+    WHERE len(words) >= 2
+  )
+),
+fh AS (
+  SELECT doc_id, {_sql_md5_u64('md5(f)')} AS b FROM feats
+),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (b // (1::HUGEINT << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM fh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit)
+  GROUP BY doc_id, bit
+),
+hashes AS (
+  SELECT doc_id,
+         coalesce(sum(CASE WHEN v > 0 THEN (1::HUGEINT << bit) END), 0)::HUGEINT AS h
+  FROM votes GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 0::HUGEINT AS h FROM w WHERE len(words) = 0
+),
+chunks AS ({chunks_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.h AS h_a, b.h AS h_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       bit_count(xor(h_a::UBIGINT, h_b::UBIGINT))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(h_a::UBIGINT, h_b::UBIGINT)) <= {max_hamming}
+"""
+
+
 _NATION_RECTS_SQL = """
     SELECT n_nationkey AS poly_id,
            (n_nationkey * 37) % 300 - 160 + 0.0005 AS x0,
@@ -464,8 +651,9 @@ def q_fidelity_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic counts — no SQL oracle (rows-only check);
-    accuracy vs the table's lang labels is asserted in pytest."""
+    """Language-ID heuristic counts; DuckDB oracle replicates the
+    stopword-profile argmax via list_intersect, and accuracy vs the
+    table's lang labels is additionally asserted in pytest."""
     from pyspark.sql.types import StringType
 
     from geojson_spark.functions.text import lang_id
@@ -482,6 +670,10 @@ def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs. Full DuckDB oracle: both engines share
+    md5 as the base shingle hash and integer mod-2^64 remixes/FNV band
+    folds, so the oracle reproduces candidacy AND verification bit-exactly
+    (see _minhash_oracle_sql)."""
     from geojson_spark.operators.dedup import minhash_lsh_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -491,6 +683,9 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3), full DuckDB oracle
+    (_simhash_oracle_sql: md5 feature hashes, bit votes, chunk
+    collisions)."""
     from geojson_spark.operators.dedup import simhash_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1402,6 +1597,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_NATION_RECTS_SQL})
         """,
         "hex_cell_counts": _HEX_CELL_COUNTS_SQL,
+        "minhash_near_dups": _minhash_oracle_sql(),
+        "simhash_near_dups": _simhash_oracle_sql(),
         "lang_distribution": r"""
             WITH w AS (
               SELECT doc_id, list_distinct(list_transform(
