@@ -320,6 +320,75 @@ WHERE bit_count(xor(h_a::UBIGINT, h_b::UBIGINT)) <= {max_hamming}
 """
 
 
+def _sql_pow_chain(e_expr: str, base: int, prefix: str, mod: int, maxj: int = 22):
+    """Lateral-alias chain computing base^(e_expr) mod ``mod`` via binary
+    decomposition with Python-precomputed base^(2^j) constants — SQL has
+    no modpow, but 22 CASE-guarded multiplies cover exponents to 2^22.
+    Returns (column fragment, final alias)."""
+    consts = []
+    b = base % mod
+    for _ in range(maxj):
+        consts.append(b)
+        b = b * b % mod
+    cols = [f"1::BIGINT AS {prefix}0"]
+    for j in range(maxj):
+        cols.append(
+            f"({prefix}{j} * (CASE WHEN (({e_expr}) // {1 << j}) % 2 = 1 "
+            f"THEN {consts[j]} ELSE 1 END)) % {mod} AS {prefix}{j + 1}"
+        )
+    return ", ".join(cols), f"{prefix}{maxj}"
+
+
+def _fp_oracle_sql(window: int = 64, mod: int = (1 << 31) - 1) -> str:
+    """DuckDB replica of rolling_fingerprint: the SAME modular
+    prefix-product derivation as functions/text.py — S[t] = Σ byte·inv257^t
+    (a windowed SUM), window hash = (S[i+w]−S[i])·257^(i+w−1) mod p, min
+    per document. The ≤window short-doc fold is the w_eff = L special case
+    of the same formula; empty documents fingerprint to 0."""
+    inv257 = pow(257, -1, mod)
+    inv_chain, inv_alias = _sql_pow_chain("t", inv257, "iv", mod)
+    pw_chain, pw_alias = _sql_pow_chain("i + weff - 1", 257, "pw", mod)
+    return f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS L
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, t,
+         ((strpos('0123456789ABCDEF', substr(hx, 2*t+1, 1)) - 1) * 16
+          + (strpos('0123456789ABCDEF', substr(hx, 2*t+2, 1)) - 1))::BIGINT AS byte
+  FROM b, LATERAL (SELECT unnest(generate_series(0, L - 1)) AS t)
+  WHERE L > 0
+),
+terms AS (
+  SELECT doc_id, t, {inv_chain},
+         byte * {inv_alias} AS term
+  FROM bytes
+),
+cums AS (
+  SELECT doc_id, t,
+         sum(term) OVER (PARTITION BY doc_id ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM terms
+),
+wins AS (
+  SELECT d.doc_id, i, least({window}, d.L) AS weff
+  FROM (SELECT doc_id, L FROM b WHERE L > 0) d,
+       LATERAL (SELECT unnest(generate_series(0, d.L - least({window}, d.L))) AS i)
+),
+h AS (
+  SELECT w.doc_id, {pw_chain},
+         (((hi.cum - coalesce(lo.cum, 0)) % {mod}) * {pw_alias}) % {mod} AS hh
+  FROM wins w
+  JOIN cums hi ON hi.doc_id = w.doc_id AND hi.t = w.i + w.weff - 1
+  LEFT JOIN cums lo ON lo.doc_id = w.doc_id AND lo.t = w.i - 1
+),
+m AS (SELECT doc_id, min(hh) AS fp FROM h GROUP BY doc_id)
+SELECT d.doc_id, coalesce(m.fp, 0)::BIGINT AS fingerprint
+FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+"""
+
+
 _NATION_RECTS_SQL = """
     SELECT n_nationkey AS poly_id,
            (n_nationkey * 37) % 300 - 160 + 0.0005 AS x0,
@@ -1121,8 +1190,10 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprint (winnowing-lite) — rows-only check;
-    parity vs a pure-Python reference is asserted in pytest."""
+    """Rolling-hash document fingerprint (winnowing-lite). DuckDB oracle
+    shares the modular prefix-product derivation (_fp_oracle_sql);
+    parity vs a pure-Python reference is additionally asserted in
+    pytest."""
     from pyspark.sql.types import LongType
 
     from geojson_spark.functions.text import rolling_fingerprint
@@ -1597,6 +1668,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_NATION_RECTS_SQL})
         """,
         "hex_cell_counts": _HEX_CELL_COUNTS_SQL,
+        "doc_fingerprint": _fp_oracle_sql(),
         "minhash_near_dups": _minhash_oracle_sql(),
         "simhash_near_dups": _simhash_oracle_sql(),
         "lang_distribution": r"""
