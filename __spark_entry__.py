@@ -552,6 +552,21 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting next to whitespace tokens: GPT-2-style
+    pre-tokenization classes counted JVM-side via regexp_count (no
+    Python); the identical pattern runs in DuckDB's RE2 for the oracle."""
+    from geojson_spark.functions.spark_funcs import bpe_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        F.regexp_count(t, F.lit(r"[^ \t\n\r\f]+")).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-expression quality score (floor-rounded 1e-3): len term +
     punctuation-rate term + word-length term — arithmetic identical to the
@@ -1262,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_rollup": wrap(q_region_rollup),
         "exact_dedup": wrap(q_exact_dedup),
         "token_stats": wrap(q_token_stats),
+        "bpe_token_stats": wrap(q_bpe_token_stats),
         "quality_score": wrap(q_quality_score),
         "events_windows": wrap(q_events_windows),
         "ann_topk": wrap(q_ann_topk),
@@ -1385,6 +1401,14 @@ def oracle_sql() -> dict[str, str]:
                    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
                    length(text) - length(replace(text, '.', '')) AS n_periods,
                    length(text) - length(replace(text, ',', '')) AS n_commas
+            FROM documents
+        """,
+        "bpe_token_stats": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\r\fA-Za-z0-9]+|[ \t\n\r\f]+'
+                   ))::BIGINT AS n_bpe_tokens,
+                   len(regexp_extract_all(text, '[^ \t\n\r\f]+'))::BIGINT AS n_ws_tokens
             FROM documents
         """,
         "quality_score": """

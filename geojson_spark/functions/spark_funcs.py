@@ -128,3 +128,21 @@ def repartition_by_cell_prefix(
     Exchange), which is what keeps the shuffle volume flat when the
     executor count scales N→4N."""
     return df.repartition(num_partitions, prefix)
+
+
+# BPE-ish tokenizer pattern (GPT-2-style word/number/punct/space classes,
+# restricted to constructs with identical semantics in Java regex (Spark),
+# RE2 (DuckDB), and Python re: no lookahead, explicit whitespace class).
+# Token count = number of non-overlapping matches.
+BPE_TOKEN_PATTERN = (
+    r"'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\r\fA-Za-z0-9]+|[ \t\n\r\f]+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Training-pipeline token counting, BPE-ish: counts matches of the
+    GPT-2-style pre-tokenization classes (contraction suffixes, letter
+    runs, digit runs, punctuation runs, whitespace runs). JVM-side
+    ``regexp_count`` — whole-stage codegen, no Python; the same pattern is
+    SQL-oracle-reproducible in DuckDB's RE2."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN)).cast("bigint")
