@@ -389,6 +389,77 @@ FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
 """
 
 
+def _sql_md5_prefix32(key_sql: str, seed: int) -> str:
+    """First 8 hex chars of md5(key ':seed') as a 32-bit integer —
+    DuckDB replica of operators/splits._hash_unit."""
+    h = f"md5({key_sql}::VARCHAR || ':{seed}')"
+    terms = [
+        f"(strpos('0123456789abcdef', substr({h}, {b}, 1)) - 1) * {16 ** (8 - b)}"
+        for b in range(1, 9)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _split_case_sql(key_sql: str, seed: int = 42, weights=None) -> str:
+    """CASE expression assigning the hash_split name — thresholds computed
+    with the SAME Python float accumulation as hash_split so both sides
+    agree to the last integer."""
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = float(sum(weights.values()))
+    scale = float(1 << 32)
+    items = list(weights.items())
+    u = _sql_md5_prefix32(key_sql, seed)
+    acc = 0.0
+    whens = []
+    for name, wgt in items[:-1]:
+        acc += wgt / total
+        whens.append(f"WHEN {u} < {int(acc * scale)} THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{items[-1][0]}' END"
+
+
+def _shingle3_sql(src: str, extra_cols: str = "") -> str:
+    """Distinct raw-text 3-word shingles per doc — replicates
+    _shingle_sets (incl. the <k-word fallback to one joined shingle, and
+    the empty-doc '' shingle)."""
+    return f"""
+  SELECT DISTINCT doc_id{extra_cols}, shingle FROM (
+    SELECT doc_id{extra_cols},
+           CASE WHEN len(words) >= 3
+                THEN array_to_string(words[i:i+2], ' ')
+                ELSE array_to_string(words, ' ') END AS shingle
+    FROM (
+      SELECT doc_id{extra_cols},
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+      FROM {src}
+    ), LATERAL (
+      SELECT unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+    )
+  )"""
+
+
+def _hash_split_oracle_sql() -> str:
+    return f"""
+        SELECT doc_id, {_split_case_sql('doc_id')} AS split FROM documents
+    """
+
+
+def _contamination_oracle_sql() -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, text, {_split_case_sql('doc_id')} AS split FROM documents
+),
+sh AS ({_shingle3_sql('s', ', split')}),
+train_sh AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+test_sh AS (SELECT doc_id, shingle FROM sh WHERE split <> 'train')
+SELECT t.doc_id,
+       count(*) AS n_shingles,
+       count(tr.shingle) AS n_contaminated
+FROM test_sh t LEFT JOIN train_sh tr ON tr.shingle = t.shingle
+GROUP BY t.doc_id
+"""
+
+
 _NATION_RECTS_SQL = """
     SELECT n_nationkey AS poly_id,
            (n_nationkey * 37) % 300 - 160 + 0.0005 AS x0,
@@ -565,6 +636,30 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_token_count(t).alias("n_bpe_tokens"),
         F.regexp_count(t, F.lit(r"[^ \t\n\r\f]+")).cast("bigint").alias("n_ws_tokens"),
     )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-hash dataset split (train/val/test) — a row's
+    split never changes under repartitioning or table growth. Pure Column
+    ops; the oracle reproduces the md5-prefix threshold arithmetic."""
+    from geojson_spark.operators.splits import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(docs, seed=42).select("doc_id", "split")
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination signal: per held-out document, how many
+    of its 3-word shingles appear anywhere in the train split. The train
+    side reduces to its distinct shingle set before the equi-join."""
+    from geojson_spark.operators.splits import contamination_check, hash_split
+
+    docs = hash_split(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), seed=42
+    )
+    train = docs.where(F.col("split") == "train")
+    test = docs.where(F.col("split") != "train")
+    return contamination_check(train, test, k_shingle=3)
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1278,6 +1373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": wrap(q_exact_dedup),
         "token_stats": wrap(q_token_stats),
         "bpe_token_stats": wrap(q_bpe_token_stats),
+        "hash_split": wrap(q_hash_split),
+        "contamination": wrap(q_contamination),
         "quality_score": wrap(q_quality_score),
         "events_windows": wrap(q_events_windows),
         "ann_topk": wrap(q_ann_topk),
@@ -1693,6 +1790,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hex_cell_counts": _HEX_CELL_COUNTS_SQL,
         "doc_fingerprint": _fp_oracle_sql(),
+        "hash_split": _hash_split_oracle_sql(),
+        "contamination": _contamination_oracle_sql(),
         "minhash_near_dups": _minhash_oracle_sql(),
         "simhash_near_dups": _simhash_oracle_sql(),
         "lang_distribution": r"""

@@ -224,3 +224,37 @@ def test_audio_features_plumbing(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|no audio codec"):
         audio_features(bad).collect()
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from geojson_spark.operators.splits import hash_split
+
+    docs = spark.range(20000).select(F.col("id").alias("doc_id"))
+    a = hash_split(docs).groupBy("split").count().collect()
+    fracs = {r.split: r["count"] / 20000 for r in a}
+    assert abs(fracs["train"] - 0.9) < 0.02
+    assert abs(fracs["val"] - 0.05) < 0.01
+    assert abs(fracs["test"] - 0.05) < 0.01
+    # repartition-independent: same assignment per id
+    b = hash_split(docs.repartition(13)).select("doc_id", "split")
+    a2 = hash_split(docs).select("doc_id", "split")
+    assert a2.subtract(b).count() == 0 and b.subtract(a2).count() == 0
+
+
+def test_contamination_check_planted(spark):
+    import pandas as pd
+
+    from geojson_spark.operators.splits import contamination_check
+
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [
+            "alpha beta gamma delta epsilon", "one two three four"]})
+    )
+    test = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10, 11], "text": [
+            "alpha beta gamma delta zeta",   # shares 2 of 3 shingles
+            "totally novel words here now",  # shares none
+        ]})
+    )
+    rows = {r.doc_id: r for r in contamination_check(train, test, k_shingle=3).collect()}
+    assert rows[10].n_shingles == 3 and rows[10].n_contaminated == 2
+    assert rows[11].n_shingles == 3 and rows[11].n_contaminated == 0
