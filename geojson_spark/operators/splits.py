@@ -1,0 +1,94 @@
+"""Dataset splitting and cross-corpus contamination — training-pipeline
+operators over the documents table.
+
+Both are pure built-in Column/join pipelines (no Python on the hot path)
+and keep to SQL-reproducible primitives (md5, integer arithmetic) so a
+DuckDB oracle checks them bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_unit(key: Column, seed: int) -> Column:
+    """Deterministic uniform value in [0, 2^32) from md5(key ':' seed) —
+    the stable-across-runs/cluster-sizes alternative to rand(): a row's
+    split never changes when the table is repartitioned or grown, which
+    is what makes incremental dataset refreshes reproducible."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(f":{seed}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/…) by hashing its
+    id — deterministic, order-independent, cluster-size-independent.
+
+    ``weights`` maps split name → fraction (normalized internally; dict
+    order fixes the threshold order). One Column expression: md5 → 32-bit
+    integer → cumulative-weight thresholds. No shuffle at all.
+    """
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = float(sum(weights.values()))
+    u = _hash_unit(F.col(id_col), seed)
+    scale = float(1 << 32)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, wgt in items[:-1]:
+        acc += wgt / total
+        cond = u < int(acc * scale)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)
+
+
+def contamination_check(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+) -> DataFrame:
+    """Per test document: how many of its k-word shingles appear anywhere
+    in the train corpus — the standard train/test decontamination signal.
+
+    Returns (doc_id, n_shingles, n_contaminated) — integer outputs, so a
+    SQL oracle reproduces them exactly.
+
+    Scale path: the train side reduces to its DISTINCT shingle set before
+    the join (one agg; at web scale this is the smaller, heavily-deduped
+    side), then a shuffle equi-join on the shingle string counts matches
+    per test doc. No crossJoin, no Python; both sides shuffle only
+    (shingle, id) pairs.
+    """
+    from geojson_spark.operators.dedup import _shingle_sets
+
+    test_sh = _shingle_sets(test, id_col, text_col, k_shingle).select(
+        F.col("id"), F.explode("sh").alias("w")
+    )
+    train_sh = (
+        _shingle_sets(train, id_col, text_col, k_shingle)
+        .select(F.explode("sh").alias("w"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = test_sh.join(train_sh, "w", "left")
+    return (
+        joined.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+    )
