@@ -662,6 +662,20 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(train, test, k_shingle=3)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-shard sequence packing (capacity 256 whitespace tokens,
+    8 shards) — the sample-packing step before LLM training; the DuckDB
+    oracle replays the same fold with a recursive CTE."""
+    from geojson_spark.operators.splits import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.regexp_count(F.col("text"), F.lit(r"[^ \t\n\r\f]+")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(docs, capacity=256)
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-expression quality score (floor-rounded 1e-3): len term +
     punctuation-rate term + word-length term — arithmetic identical to the
@@ -1375,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": wrap(q_bpe_token_stats),
         "hash_split": wrap(q_hash_split),
         "contamination": wrap(q_contamination),
+        "pack_sequences": wrap(q_pack_sequences),
         "quality_score": wrap(q_quality_score),
         "events_windows": wrap(q_events_windows),
         "ann_topk": wrap(q_ann_topk),
@@ -1792,6 +1807,25 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _fp_oracle_sql(),
         "hash_split": _hash_split_oracle_sql(),
         "contamination": _contamination_oracle_sql(),
+        "pack_sequences": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     len(regexp_extract_all(text, '[^ \t\n\r\f]+'))::BIGINT AS tok,
+                     row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+              FROM documents
+            ), r AS (
+              SELECT shard, rn, doc_id, tok, 0::BIGINT AS bin_no, tok AS fill
+              FROM t WHERE rn = 1
+              UNION ALL
+              SELECT t.shard, t.rn, t.doc_id, t.tok,
+                     CASE WHEN r.fill > 0 AND r.fill + t.tok > 256
+                          THEN r.bin_no + 1 ELSE r.bin_no END,
+                     CASE WHEN r.fill > 0 AND r.fill + t.tok > 256
+                          THEN t.tok ELSE r.fill + t.tok END
+              FROM r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1
+            )
+            SELECT doc_id, shard, bin_no FROM r
+        """,
         "minhash_near_dups": _minhash_oracle_sql(),
         "simhash_near_dups": _simhash_oracle_sql(),
         "lang_distribution": r"""

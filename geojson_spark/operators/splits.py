@@ -92,3 +92,64 @@ def contamination_check(
             F.count("_hit").alias("n_contaminated"),
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    capacity: int,
+    shard_col: str = "shard",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy in-order sample packing: within each shard, documents (in
+    ``id_col`` order) accumulate into bins of ``capacity`` tokens; a
+    document that would overflow a non-empty bin starts the next bin
+    (oversized documents get a bin of their own). Returns
+    (id, shard, bin_no) — the standard sequence-packing step before LLM
+    training.
+
+    Scale path: packing is inherently a sequential fold, so it runs
+    per-shard via applyInPandas — one shuffle on the shard key, O(shard)
+    state, shards bounded by construction (a shard is a training-file
+    unit). The fold itself is NumPy cumsum-free but trivially linear.
+    A global (shard-free) packing would serialize on one task — that's a
+    property of the problem, not the plan; choose shard granularity
+    accordingly.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(shard_col, LongType()),
+            StructField("bin_no", LongType()),
+        ]
+    )
+    cap = int(capacity)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        bins = []
+        bin_no, fill = 0, 0
+        for tok in pdf[tokens_col].astype(int):
+            if fill > 0 and fill + tok > cap:
+                bin_no += 1
+                fill = 0
+            bins.append(bin_no)
+            fill += tok
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].astype("int64"),
+                shard_col: pdf[shard_col].astype("int64"),
+                "bin_no": pd.Series(bins, dtype="int64").values,
+            }
+        )
+
+    keyed = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(shard_col).cast("long").alias(shard_col),
+        F.col(tokens_col),
+    )
+    return keyed.groupBy(shard_col).applyInPandas(pack, out_schema)

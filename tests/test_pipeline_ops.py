@@ -258,3 +258,34 @@ def test_contamination_check_planted(spark):
     rows = {r.doc_id: r for r in contamination_check(train, test, k_shingle=3).collect()}
     assert rows[10].n_shingles == 3 and rows[10].n_contaminated == 2
     assert rows[11].n_shingles == 3 and rows[11].n_contaminated == 0
+
+def test_pack_sequences_greedy_invariants(spark):
+    import pandas as pd
+
+    from geojson_spark.operators.splits import pack_sequences
+
+    rng_tokens = [(i, i % 3, 40 + (i * 37) % 200) for i in range(120)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rng_tokens, columns=["doc_id", "shard", "n_tokens"])
+    )
+    out = pack_sequences(docs, capacity=256).toPandas()
+    merged = out.merge(
+        pd.DataFrame(rng_tokens, columns=["doc_id", "shard", "n_tokens"]),
+        on=["doc_id", "shard"],
+    ).sort_values(["shard", "doc_id"])
+    for shard, grp in merged.groupby("shard"):
+        # bin numbers start at 0 and are contiguous non-decreasing
+        assert grp.bin_no.iloc[0] == 0
+        assert (grp.bin_no.diff().fillna(0) >= 0).all()
+        assert (grp.bin_no.diff().fillna(0) <= 1).all()
+        # every bin except possibly per-doc-oversized ones fits capacity
+        fills = grp.groupby("bin_no").n_tokens.sum()
+        single = grp.groupby("bin_no").size()
+        assert ((fills <= 256) | (single == 1)).all()
+        # greedy: the doc that OPENS a new bin would not have fit in the
+        # previous (now-final) bin
+        fills_d = fills.to_dict()
+        first_docs = grp.groupby("bin_no").first()
+        for bin_no, r in first_docs.iterrows():
+            if bin_no > 0:
+                assert fills_d[bin_no - 1] + r.n_tokens > 256
