@@ -53,6 +53,13 @@ HEADLINE = [
     "dedup_keepers",
     "median_price",
     "polygon_roundtrip",
+    "fidelity_roundtrip",
+    "simhash_near_dups",
+    "doc_fingerprint",
+    "bpe_token_stats",
+    "hash_split",
+    "contamination",
+    "pack_sequences",
 ]
 
 
