@@ -317,21 +317,28 @@ def set_similarity_join(
     toks = _shingle_sets(docs, id_col, text_col, k_shingle).withColumn("n", F.size("sh"))
 
     if method == "auto":
-        # probe a bounded document sample so the decision costs O(sample)
-        # regardless of corpus size (one metadata-cheap count + ~4k-doc
-        # shingle pass), scaled back up by 1/f²
         n_docs = docs.count()
-        frac = min(1.0, 4096.0 / max(n_docs, 1))
-        if frac >= 1.0:
-            probe_toks, scale = toks, 1.0
+        # worst-case co-occurrence volume is n·(n−1)/2 even if every doc
+        # shared one shingle — when that already fits the budget the count
+        # path is provably safe and the probe (a shingle pass) is skipped.
+        # The probe only runs for corpora big enough that it is sampled.
+        if n_docs * (n_docs - 1) // 2 <= auto_count_budget:
+            method = "count"
         else:
-            probe_toks = _shingle_sets(
-                docs.sample(False, frac, seed=7), id_col, text_col, k_shingle
+            # probe a bounded document sample so the decision costs
+            # O(sample) regardless of corpus size (one metadata-cheap
+            # count + ~4k-doc shingle pass), scaled back up by 1/f²
+            frac = min(1.0, 4096.0 / max(n_docs, 1))
+            if frac >= 1.0:
+                probe_toks, scale = toks, 1.0
+            else:
+                probe_toks = _shingle_sets(
+                    docs.sample(False, frac, seed=7), id_col, text_col, k_shingle
+                )
+                scale = 1.0 / (frac * frac)
+            method = choose_set_similarity_method(
+                probe_toks, count_budget=auto_count_budget, scale=scale
             )
-            scale = 1.0 / (frac * frac)
-        method = choose_set_similarity_method(
-            probe_toks, count_budget=auto_count_budget, scale=scale
-        )
 
     if method == "count":
         flat = toks.select("id", "n", F.explode("sh").alias("w"))
