@@ -843,6 +843,35 @@ def q_fidelity_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry measures under the oracle gate: triangles built with the
+    C6 constructor, then shoelace area / perimeter / vertex centroid as
+    pure Column folds (functions/measures). Integer-valued vertices make
+    the area exact; sqrt is IEEE-correctly-rounded and the fold order is
+    shared with the SQL, so the micro-rounded outputs hash-match."""
+    from geojson_spark.functions.constructors import st_triangle
+    from geojson_spark.functions.measures import st_area, st_centroid_xy, st_perimeter
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey")
+    x1 = ((k * 13) % 100).cast("double")
+    y1 = ((k * 17) % 80).cast("double")
+    x2 = x1 + (3 + k % 5).cast("double")
+    y2 = y1
+    x3 = x1
+    y3 = y1 + (4 + k % 7).cast("double")
+    g = st_triangle(x1, y1, x2, y2, x3, y3)
+    df = nat.select(k.cast("bigint").alias("poly_id"), g.alias("g"))
+    cx, cy = st_centroid_xy(F.col("g"))
+    return df.select(
+        "poly_id",
+        F.floor(st_area(F.col("g")) * 1000).cast("bigint").alias("area_milli"),
+        F.floor(st_perimeter(F.col("g")) * 1000000).cast("bigint").alias("perim_micro"),
+        F.floor(cx * 1000000).cast("bigint").alias("cx_micro"),
+        F.floor(cy * 1000000).cast("bigint").alias("cy_micro"),
+    )
+
+
 def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic counts; DuckDB oracle replicates the
     stopword-profile argmax via list_intersect, and accuracy vs the
@@ -1390,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": wrap(q_hash_split),
         "contamination": wrap(q_contamination),
         "pack_sequences": wrap(q_pack_sequences),
+        "polygon_metrics": wrap(q_polygon_metrics),
         "quality_score": wrap(q_quality_score),
         "events_windows": wrap(q_events_windows),
         "ann_topk": wrap(q_ann_topk),
@@ -1807,6 +1837,31 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _fp_oracle_sql(),
         "hash_split": _hash_split_oracle_sql(),
         "contamination": _contamination_oracle_sql(),
+        "polygon_metrics": """
+            WITH v AS (
+              SELECT n_nationkey::BIGINT AS poly_id,
+                     ((n_nationkey*13) % 100)::DOUBLE AS x1,
+                     ((n_nationkey*17) % 80)::DOUBLE AS y1,
+                     ((n_nationkey*13) % 100)::DOUBLE
+                       + (3 + n_nationkey % 5)::DOUBLE AS x2,
+                     ((n_nationkey*17) % 80)::DOUBLE AS y2,
+                     ((n_nationkey*13) % 100)::DOUBLE AS x3,
+                     ((n_nationkey*17) % 80)::DOUBLE
+                       + (4 + n_nationkey % 7)::DOUBLE AS y3
+              FROM nation
+            )
+            SELECT poly_id,
+                   cast(floor(abs(0 + (x1*y2 - x2*y1) + (x2*y3 - x3*y2)
+                                    + (x3*y1 - x1*y3)) / 2.0 * 1000) as bigint)
+                     AS area_milli,
+                   cast(floor((0 + sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))
+                                 + sqrt((x3-x2)*(x3-x2) + (y3-y2)*(y3-y2))
+                                 + sqrt((x1-x3)*(x1-x3) + (y1-y3)*(y1-y3)))
+                              * 1000000) as bigint) AS perim_micro,
+                   cast(floor((0 + x1 + x2 + x3) / 3.0 * 1000000) as bigint) AS cx_micro,
+                   cast(floor((0 + y1 + y2 + y3) / 3.0 * 1000000) as bigint) AS cy_micro
+            FROM v
+        """,
         "pack_sequences": r"""
             WITH RECURSIVE t AS (
               SELECT doc_id, doc_id % 8 AS shard,

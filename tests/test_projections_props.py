@@ -356,3 +356,28 @@ def test_geometries_to_collection(spark):
     assert gc.geom_type == "GeometryCollection"
     children = json.loads(gc.geoms_json)
     assert {tuple(c["coordinates"]) for c in children} == {(0.0, 1.0), (1.0, 1.0), (2.0, 1.0)}
+
+
+def test_geometry_measures(spark):
+    from geojson_spark.functions.constructors import st_rect, st_triangle
+    from geojson_spark.functions.measures import st_area, st_centroid_xy, st_perimeter
+
+    lit = F.lit
+    df = spark.range(1).select(
+        st_rect(lit(0.0), lit(0.0), lit(2.0), lit(1.0)).alias("r"),
+        st_triangle(lit(0.0), lit(0.0), lit(4.0), lit(0.0), lit(0.0), lit(3.0)).alias("t"),
+    )
+    cx, cy = st_centroid_xy(F.col("r"))
+    tcx, tcy = st_centroid_xy(F.col("t"))
+    row = df.select(
+        st_area(F.col("r")).alias("ra"),
+        st_perimeter(F.col("r")).alias("rp"),
+        cx.alias("rcx"), cy.alias("rcy"),
+        st_area(F.col("t")).alias("ta"),
+        st_perimeter(F.col("t")).alias("tp"),
+        tcx.alias("tcx"), tcy.alias("tcy"),
+    ).first()
+    assert row.ra == 2.0 and row.rp == 6.0
+    assert row.rcx == 1.0 and row.rcy == 0.5  # vertex mean of the 4 corners
+    assert row.ta == 6.0 and row.tp == 12.0  # 3-4-5 right triangle
+    assert abs(row.tcx - 4.0 / 3.0) < 1e-15 and abs(row.tcy - 1.0) < 1e-15
