@@ -843,6 +843,38 @@ def q_fidelity_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle-intersection join via PBSM grid partitioning with
+    reference-point dedup (each pair emitted in exactly one cell — no
+    dropDuplicates); the oracle is the plain theta join. Overlap areas
+    come out as floor-milli integers with the derivation shared between
+    engines."""
+    from geojson_spark.operators.joins import bbox_join
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey")
+    ax0 = (k * 37) % 300 - 160 + 0.0005
+    ay0 = (k * 53) % 140 - 75 + 0.0005
+    a = nat.select(
+        k.cast("bigint").alias("id_a"),
+        ax0.alias("ax0"), ay0.alias("ay0"),
+        (ax0 + 12.0).alias("ax1"), (ay0 + 9.0).alias("ay1"),
+    )
+    bx0 = (k * 41) % 300 - 160 + 0.2505
+    by0 = (k * 59) % 140 - 75 + 0.2505
+    b = nat.select(
+        k.cast("bigint").alias("id_b"),
+        bx0.alias("bx0"), by0.alias("by0"),
+        (bx0 + 15.0).alias("bx1"), (by0 + 10.0).alias("by1"),
+    )
+    j = bbox_join(a, b, cpd=0.25)
+    w = F.least(F.col("ax1"), F.col("bx1")) - F.greatest(F.col("ax0"), F.col("bx0"))
+    h = F.least(F.col("ay1"), F.col("by1")) - F.greatest(F.col("ay0"), F.col("by0"))
+    return j.select(
+        "id_a", "id_b", F.floor(w * h * 1000).cast("bigint").alias("ov_milli")
+    )
+
+
 def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometry measures under the oracle gate: triangles built with the
     C6 constructor, then shoelace area / perimeter / vertex centroid as
@@ -1420,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": wrap(q_contamination),
         "pack_sequences": wrap(q_pack_sequences),
         "polygon_metrics": wrap(q_polygon_metrics),
+        "bbox_join": wrap(q_bbox_join),
         "quality_score": wrap(q_quality_score),
         "events_windows": wrap(q_events_windows),
         "ann_topk": wrap(q_ann_topk),
@@ -1837,6 +1870,29 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _fp_oracle_sql(),
         "hash_split": _hash_split_oracle_sql(),
         "contamination": _contamination_oracle_sql(),
+        "bbox_join": """
+            WITH a AS (
+              SELECT n_nationkey::BIGINT AS id_a,
+                     (n_nationkey * 37) % 300 - 160 + 0.0005::DOUBLE AS ax0,
+                     (n_nationkey * 53) % 140 - 75 + 0.0005::DOUBLE AS ay0,
+                     ((n_nationkey * 37) % 300 - 160 + 0.0005::DOUBLE) + 12.0 AS ax1,
+                     ((n_nationkey * 53) % 140 - 75 + 0.0005::DOUBLE) + 9.0 AS ay1
+              FROM nation
+            ), b AS (
+              SELECT n_nationkey::BIGINT AS id_b,
+                     (n_nationkey * 41) % 300 - 160 + 0.2505::DOUBLE AS bx0,
+                     (n_nationkey * 59) % 140 - 75 + 0.2505::DOUBLE AS by0,
+                     ((n_nationkey * 41) % 300 - 160 + 0.2505::DOUBLE) + 15.0 AS bx1,
+                     ((n_nationkey * 59) % 140 - 75 + 0.2505::DOUBLE) + 10.0 AS by1
+              FROM nation
+            )
+            SELECT id_a, id_b,
+                   cast(floor((least(ax1, bx1) - greatest(ax0, bx0))
+                              * (least(ay1, by1) - greatest(ay0, by0)) * 1000)
+                        as bigint) AS ov_milli
+            FROM a JOIN b
+              ON ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1
+        """,
         "polygon_metrics": """
             WITH v AS (
               SELECT n_nationkey::BIGINT AS poly_id,

@@ -502,6 +502,49 @@ def tile_join(
     return keyed.join(tiles, tile_col)
 
 
+def bbox_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    cpd: float = 1.0,
+    a_box: tuple[str, str, str, str] = ("ax0", "ay0", "ax1", "ay1"),
+    b_box: tuple[str, str, str, str] = ("bx0", "by0", "bx1", "by1"),
+) -> DataFrame:
+    """Rectangle-intersection join (PBSM — partition-based spatial merge).
+
+    Both sides explode to the integer grid cells their boxes overlap
+    (``sequence``/``explode`` on pure Column arithmetic), equi-join on
+    (gx, gy), and the exact closed-box overlap predicate refines. A pair
+    whose boxes straddle several cells would duplicate, so each pair is
+    emitted EXACTLY ONCE by the reference-point rule: keep it only in the
+    cell containing the intersection's min corner (max of the min
+    corners) — the classic PBSM dedup, which costs a comparison instead
+    of a global dropDuplicates shuffle. Returns all left+right columns.
+
+    Scale notes: one shuffle (the cell equi-join); fan-out = box area in
+    cells, so pick ``cpd`` (cells per degree) so typical boxes span a few
+    cells; AQE skew-join handles dense cells. No crossJoin, no UDF — the
+    whole operator is whole-stage codegen.
+    """
+    ax0, ay0, ax1, ay1 = (F.col(c) for c in a_box)
+    bx0, by0, bx1, by1 = (F.col(c) for c in b_box)
+
+    def gcell(v):
+        return F.floor((v + 180.0) * cpd).cast("bigint")
+
+    la = left.withColumn("gx", F.explode(F.sequence(gcell(ax0), gcell(ax1)))).withColumn(
+        "gy", F.explode(F.sequence(gcell(ay0), gcell(ay1)))
+    )
+    rb = right.withColumn("gx", F.explode(F.sequence(gcell(bx0), gcell(bx1)))).withColumn(
+        "gy", F.explode(F.sequence(gcell(by0), gcell(by1)))
+    )
+    overlap = (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
+    ref_ok = (gcell(F.greatest(ax0, bx0)) == F.col("gx")) & (
+        gcell(F.greatest(ay0, by0)) == F.col("gy")
+    )
+    return la.join(rb, ["gx", "gy"]).where(overlap & ref_ok).drop("gx", "gy")
+
+
 # ---------------------------------------------------------------------------
 # temporal joins: as-of and range (interval) — single-shuffle patterns
 # ---------------------------------------------------------------------------

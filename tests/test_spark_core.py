@@ -265,3 +265,36 @@ def test_to_feature_json_matches_codec(spark):
     df = spark.createDataFrame(pdf, schema=FEATURE_SCHEMA)
     got = df.select(to_feature_json(F.struct(*FEATURE_SCHEMA.names)).alias("j")).collect()[0].j
     assert got == serialize_feature(feats[0])
+
+
+def test_bbox_join_matches_bruteforce(spark):
+    from geojson_spark.operators.joins import bbox_join
+
+    rng = np.random.default_rng(5)
+    def boxes(n, seed_shift):
+        x0 = rng.uniform(-50, 50, n)
+        y0 = rng.uniform(-30, 30, n)
+        w = rng.uniform(0.1, 15, n)
+        h = rng.uniform(0.1, 12, n)
+        return x0, y0, x0 + w, y0 + h
+
+    ax0, ay0, ax1, ay1 = boxes(120, 0)
+    bx0, by0, bx1, by1 = boxes(150, 1)
+    a = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(120), "ax0": ax0, "ay0": ay0, "ax1": ax1, "ay1": ay1})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"id_b": range(150), "bx0": bx0, "by0": by0, "bx1": bx1, "by1": by1})
+    )
+    for cpd in (0.2, 1.0):
+        got = {
+            (r.id_a, r.id_b)
+            for r in bbox_join(a, b, cpd=cpd).select("id_a", "id_b").collect()
+        }
+        inter = (
+            (ax0[:, None] <= bx1[None, :]) & (bx0[None, :] <= ax1[:, None])
+            & (ay0[:, None] <= by1[None, :]) & (by0[None, :] <= ay1[:, None])
+        )
+        want = {(int(i), int(j)) for i, j in zip(*np.nonzero(inter))}
+        assert got == want, f"cpd={cpd}: {len(got)} vs {len(want)}"
+        assert len(got) > 100  # non-trivial overlap set
