@@ -843,6 +843,43 @@ def q_fidelity_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _geohash_sql(lon_sql: str, lat_sql: str, precision: int) -> str:
+    """DuckDB replica of geohash_string: same bit interleave + base32."""
+    from geojson_spark.functions.spark_funcs import GEOHASH_BASE32
+
+    half = 5 * precision // 2
+    lim = 1 << half
+    x = f"least(cast(floor(({lon_sql} + 180.0) / 360.0 * {float(lim)}) as bigint), {lim - 1})"
+    y = f"least(cast(floor(({lat_sql} + 90.0) / 180.0 * {float(lim)}) as bigint), {lim - 1})"
+    terms = []
+    for i in range(half):
+        terms.append(f"(({x} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({y} // {1 << i}) % 2) * {1 << (2 * i)}")
+    cell = "(" + " + ".join(terms) + ")"
+    nbits = 5 * precision
+    chars = [
+        f"substr('{GEOHASH_BASE32}', cast(({cell} // {1 << (nbits - 5 * (c + 1))}) % 32 + 1 as int), 1)"
+        for c in range(precision)
+    ]
+    return " || ".join(chars)
+
+
+def q_geohash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cell assignment (the fourth index family next to grid, S2,
+    hex): pure Column bit interleave + base32, no UDF, whole-stage
+    codegen; groupBy counts per precision-4 geohash. Verified against the
+    classic bisection encoder in pytest and bit-replicated in SQL."""
+    from geojson_spark.functions.spark_funcs import derived_lonlat, geohash_string
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lon, lat = derived_lonlat(F.col("l_orderkey").cast("bigint"))
+    return (
+        li.select(geohash_string(lon, lat, 4).alias("geohash"))
+        .groupBy("geohash")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
 def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rectangle-intersection join via PBSM grid partitioning with
     reference-point dedup (each pair emitted in exactly one cell — no
@@ -1453,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": wrap(q_pack_sequences),
         "polygon_metrics": wrap(q_polygon_metrics),
         "bbox_join": wrap(q_bbox_join),
+        "geohash_counts": wrap(q_geohash_counts),
         "quality_score": wrap(q_quality_score),
         "events_windows": wrap(q_events_windows),
         "ann_topk": wrap(q_ann_topk),
@@ -1870,6 +1908,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _fp_oracle_sql(),
         "hash_split": _hash_split_oracle_sql(),
         "contamination": _contamination_oracle_sql(),
+        "geohash_counts": f"""
+            SELECT {_geohash_sql("lon", "lat", 4)} AS geohash,
+                   count(*) AS n_points
+            FROM {pts} GROUP BY 1
+        """,
         "bbox_join": """
             WITH a AS (
               SELECT n_nationkey::BIGINT AS id_a,

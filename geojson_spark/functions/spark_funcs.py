@@ -146,3 +146,52 @@ def bpe_token_count(text: Column) -> Column:
     ``regexp_count`` — whole-stage codegen, no Python; the same pattern is
     SQL-oracle-reproducible in DuckDB's RE2."""
     return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN)).cast("bigint")
+
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_cell(lon: Column, lat: Column, precision: int = 6) -> Column:
+    """Geohash as a BIGINT of 5·precision interleaved bits (lon bit
+    first, per the public geohash spec) — pure Column integer arithmetic,
+    no UDF, identical in any SQL engine. Even ``precision`` only (odd
+    precisions split the bit budget unevenly between axes).
+
+    The integer form is the join/aggregation key; ``geohash_string``
+    renders the base32 text."""
+    if precision % 2 != 0:
+        raise ValueError("geohash_cell supports even precision only")
+    half = 5 * precision // 2
+    lim = 1 << half
+    x = F.least(
+        F.floor((lon + 180.0) / 360.0 * float(lim)).cast("bigint"), F.lit(lim - 1)
+    )
+    y = F.least(
+        F.floor((lat + 90.0) / 180.0 * float(lim)).cast("bigint"), F.lit(lim - 1)
+    )
+    out = F.lit(0).cast("bigint")
+    for i in range(half):
+        out = (
+            out
+            + F.shiftleft(F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftrightunsigned(y, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return out
+
+
+def geohash_string(lon: Column, lat: Column, precision: int = 6) -> Column:
+    """Classic base32 geohash text of :func:`geohash_cell`'s bits."""
+    cell = geohash_cell(lon, lat, precision)
+    nbits = 5 * precision
+    chars = []
+    for c in range(precision):
+        idx = F.shiftrightunsigned(cell, nbits - 5 * (c + 1)).bitwiseAND(F.lit(31))
+        chars.append(F.substring(F.lit(GEOHASH_BASE32), 1, 32).substr(idx + 1, F.lit(1)))
+    return F.concat(*chars)
+
+
+def geohash_parent(cell: Column, precision: int, parent_precision: int) -> Column:
+    """Coarsen a geohash cell — drop trailing bits (bit shift, no UDF);
+    the geohash prefix property makes this the tile/rollup key."""
+    drop = 5 * (precision - parent_precision)
+    return F.shiftrightunsigned(cell, drop)

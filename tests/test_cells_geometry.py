@@ -174,3 +174,49 @@ def test_cover_cells_superset():
 def test_geometry_bbox():
     assert geometry_bbox(np.array([1.0, 2.0, 3.0, 4.0]), 2) == [1.0, 2.0, 3.0, 4.0]
     assert geometry_bbox(np.array([]), 2) is None
+
+
+def test_geohash_matches_bisection_reference(spark):
+    """Column bit-interleave geohash == the classic bisection encoder."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geojson_spark.functions.spark_funcs import (
+        GEOHASH_BASE32,
+        geohash_cell,
+        geohash_parent,
+        geohash_string,
+    )
+
+    def ref(lon, lat, precision):
+        lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+        bits, even = [], True
+        while len(bits) < 5 * precision:
+            rng = lon_r if even else lat_r
+            v = lon if even else lat
+            mid = (rng[0] + rng[1]) / 2
+            bits.append(1 if v >= mid else 0)
+            rng[0 if v >= mid else 1] = mid
+            even = not even
+        return "".join(
+            GEOHASH_BASE32[int("".join(map(str, bits[i : i + 5])), 2)]
+            for i in range(0, len(bits), 5)
+        )
+
+    rng = np.random.default_rng(17)
+    lons = rng.uniform(-179.99, 179.99, 300)
+    lats = rng.uniform(-89.99, 89.99, 300)
+    df = spark.createDataFrame(pd.DataFrame({"lon": lons, "lat": lats}))
+    rows = df.select(
+        geohash_string(F.col("lon"), F.col("lat"), 6).alias("g6"),
+        geohash_string(F.col("lon"), F.col("lat"), 4).alias("g4"),
+        geohash_cell(F.col("lon"), F.col("lat"), 6).alias("c6"),
+        geohash_parent(geohash_cell(F.col("lon"), F.col("lat"), 6), 6, 4).alias("p4"),
+        geohash_cell(F.col("lon"), F.col("lat"), 4).alias("c4"),
+    ).collect()
+    for r, lo, la in zip(rows, lons, lats):
+        assert r.g6 == ref(lo, la, 6)
+        assert r.g4 == ref(lo, la, 4)
+        assert r.g6[:4] == r.g4  # prefix property
+        assert r.p4 == r.c4  # parent = truncation
