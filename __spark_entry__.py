@@ -880,6 +880,24 @@ def q_geohash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-tile pyramid build: every point contributes to 3 zoom levels
+    (base grid, ÷16, ÷256) via one explode + ONE aggregation pass —
+    map-side combine collapses the fan-out so the shuffle carries ~tile
+    cardinality, not points × levels."""
+    from geojson_spark.functions.spark_funcs import grid_cell
+    from geojson_spark.operators.agg import tile_pyramid
+
+    pts = _lineitem_points(spark, sf_dir)
+    keyed = pts.withColumn("cell_id", grid_cell(F.col("lon"), F.col("lat")))
+    return tile_pyramid(keyed, factors=(1, 16, 256), value_col="l_quantity").select(
+        "level",
+        "tile_id",
+        "n_points",
+        F.col("sum_l_quantity").cast("bigint").alias("sum_qty"),
+    )
+
+
 def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rectangle-intersection join via PBSM grid partitioning with
     reference-point dedup (each pair emitted in exactly one cell — no
@@ -1491,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_metrics": wrap(q_polygon_metrics),
         "bbox_join": wrap(q_bbox_join),
         "geohash_counts": wrap(q_geohash_counts),
+        "tile_pyramid": wrap(q_tile_pyramid),
         "quality_score": wrap(q_quality_score),
         "events_windows": wrap(q_events_windows),
         "ann_topk": wrap(q_ann_topk),
@@ -1912,6 +1931,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_geohash_sql("lon", "lat", 4)} AS geohash,
                    count(*) AS n_points
             FROM {pts} GROUP BY 1
+        """,
+        "tile_pyramid": f"""
+            WITH c AS (
+              SELECT {GRID_SQL} AS cell_id, l_quantity FROM {pts}
+            )
+            SELECT 0 AS level, cell_id AS tile_id, count(*) AS n_points,
+                   cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty
+            FROM c GROUP BY 2
+            UNION ALL
+            SELECT 1 AS level,
+                   cast(floor(floor(cell_id / 4096) / 16) as bigint) * 4096
+                   + cast(floor((cell_id % 4096) / 16) as bigint) AS tile_id,
+                   count(*) AS n_points,
+                   cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty
+            FROM c GROUP BY 2
+            UNION ALL
+            SELECT 2 AS level,
+                   cast(floor(floor(cell_id / 4096) / 256) as bigint) * 4096
+                   + cast(floor((cell_id % 4096) / 256) as bigint) AS tile_id,
+                   count(*) AS n_points,
+                   cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty
+            FROM c GROUP BY 2
         """,
         "bbox_join": """
             WITH a AS (

@@ -108,3 +108,48 @@ def salted_agg(
         *[fn2[f](name).alias(name) for name, (f, _) in aggs.items()]
     )
     return stage2
+
+
+def tile_pyramid(
+    points_with_cell: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    factors: tuple[int, ...] = (1, 16, 256),
+    value_col: str | None = None,
+) -> DataFrame:
+    """Multi-resolution tile rollup in ONE pass: every point explodes to
+    (level, parent_tile) for each pyramid level (pure Column arithmetic —
+    ``grid_parent`` is integer division on the packed cell id), then a
+    single partial+final hash aggregate counts per (level, tile).
+
+    This is the map-tile-pyramid build: levels = coarsening ``factors``
+    over the base grid. One shuffle total regardless of level count —
+    versus one aggregation per level, the map-side combine already
+    collapses most of the explode fan-out, so the shuffled volume is
+    ~Σ_level distinct tiles, not points × levels.
+
+    With ``value_col``, also sums it per tile (e.g. quantity heatmaps).
+    """
+    from geojson_spark.functions.spark_funcs import grid_parent
+
+    levels = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("level"),
+                (
+                    F.col(cell_col)
+                    if f == 1
+                    else grid_parent(F.col(cell_col), f)
+                ).alias("tile_id"),
+            )
+            for i, f in enumerate(factors)
+        ]
+    )
+    exploded = points_with_cell.select(
+        F.explode(levels).alias("lt"),
+        *( [F.col(value_col)] if value_col else [] ),
+    ).select("lt.level", "lt.tile_id", *([value_col] if value_col else []))
+    aggs = [F.count("*").alias("n_points")]
+    if value_col:
+        aggs.append(F.sum(F.col(value_col).cast("bigint")).alias(f"sum_{value_col}"))
+    return exploded.groupBy("level", "tile_id").agg(*aggs)
