@@ -136,3 +136,40 @@ def polygon_area(coords: np.ndarray, ring_offsets: np.ndarray) -> float:
         a = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
         total += a if r == 0 else -a
     return float(total)
+
+
+def simplify_ring(xy: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas–Peucker polyline simplification over an (n, 2) vertex
+    array — iterative stack (no recursion limit), vectorized
+    point-to-segment distances per split. Returns the kept-vertex mask.
+
+    Endpoints are always kept; a vertex survives iff some retained
+    segment has it farther than ``tolerance``.
+    """
+    n = len(xy)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        a, b = xy[lo], xy[hi]
+        ab = b - a
+        seg = xy[lo + 1 : hi] - a
+        denom = float(ab @ ab)
+        if denom == 0.0:
+            d = np.sqrt((seg * seg).sum(axis=1))
+        else:
+            t = np.clip(seg @ ab / denom, 0.0, 1.0)
+            diff = seg - t[:, None] * ab
+            d = np.sqrt((diff * diff).sum(axis=1))
+        i = int(np.argmax(d))
+        if d[i] > tolerance:
+            mid = lo + 1 + i
+            keep[mid] = True
+            stack.append((lo, mid))
+            stack.append((mid, hi))
+    return keep

@@ -12,6 +12,7 @@ tile stats) and give the oracle gate a geometry-measure query.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas-UDF type hints
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -73,3 +74,47 @@ def st_centroid_xy(geometry: Column) -> tuple[Column, Column]:
     cx = _fold_sum(F.transform(seq, lambda i: _xy(c, i)[0])) / n1
     cy = _fold_sum(F.transform(seq, lambda i: _xy(c, i)[1])) / n1
     return cx, cy
+
+
+def st_simplify(geometry: Column, tolerance: float) -> Column:
+    """Douglas–Peucker simplification of every ring of a (Multi)LineString
+    / Polygon geometry struct — Arrow-batched pandas UDF over the flat
+    coords encoding (offsets recomputed per ring; parts preserved).
+    Closed rings keep their closing duplicate. Point/MultiPoint/GC pass
+    through unchanged."""
+    import numpy as np
+
+    from geojson_spark.functions.geometry import simplify_ring
+    from geojson_spark.schema import GEOMETRY_STRUCT
+
+    names = [f.name for f in GEOMETRY_STRUCT.fields]
+
+    @F.pandas_udf(GEOMETRY_STRUCT)
+    def _simp(s: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g in s.to_dict("records"):
+            gt = g.get("geom_type")
+            if gt not in ("LineString", "MultiLineString", "Polygon", "MultiPolygon"):
+                rows.append({k: g.get(k) for k in names})
+                continue
+            dim = int(g["dim"]) if g.get("dim") is not None else 2
+            coords = np.asarray(
+                [] if g.get("coords") is None else g["coords"], dtype=np.float64
+            )
+            ro_raw = g.get("ring_offsets")
+            ro = [0] if ro_raw is None else [int(v) for v in ro_raw]
+            new_coords: list[float] = []
+            new_ro = [0]
+            for r in range(len(ro) - 1):
+                ring = coords[ro[r] * dim : ro[r + 1] * dim].reshape(-1, dim)
+                mask = simplify_ring(ring[:, :2].copy(), tolerance)
+                kept = ring[mask]
+                new_coords.extend(kept.ravel().tolist())
+                new_ro.append(new_ro[-1] + len(kept))
+            out = dict(g)
+            out["coords"] = new_coords
+            out["ring_offsets"] = new_ro
+            rows.append({k: out.get(k) for k in names})
+        return pd.DataFrame(rows, columns=names)
+
+    return _simp(geometry)

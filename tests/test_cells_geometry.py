@@ -220,3 +220,66 @@ def test_geohash_matches_bisection_reference(spark):
         assert r.g4 == ref(lo, la, 4)
         assert r.g6[:4] == r.g4  # prefix property
         assert r.p4 == r.c4  # parent = truncation
+
+
+def test_simplify_ring_matches_recursive_reference():
+    import numpy as np
+
+    from geojson_spark.functions.geometry import simplify_ring
+
+    def ref_dp(xy, tol):
+        def rec(lo, hi, keep):
+            if hi - lo < 2:
+                return
+            a, b = xy[lo], xy[hi]
+            ab = b - a
+            best_d, best_i = -1.0, -1
+            for m in range(lo + 1, hi):
+                ap = xy[m] - a
+                denom = float(ab @ ab)
+                if denom == 0:
+                    d = float(np.hypot(*ap))
+                else:
+                    t = min(1.0, max(0.0, float(ap @ ab) / denom))
+                    d = float(np.hypot(*(ap - t * ab)))
+                if d > best_d:
+                    best_d, best_i = d, m
+            if best_d > tol:
+                keep[best_i] = True
+                rec(lo, best_i, keep)
+                rec(best_i, hi, keep)
+
+        keep = np.zeros(len(xy), dtype=bool)
+        keep[0] = keep[-1] = True
+        rec(0, len(xy) - 1, keep)
+        return keep
+
+    rng = np.random.default_rng(23)
+    for trial in range(20):
+        n = int(rng.integers(5, 120))
+        base = np.linspace(0, 10, n)
+        xy = np.stack([base, np.sin(base) + rng.normal(0, 0.02, n)], axis=1)
+        tol = float(rng.uniform(0.01, 0.6))
+        got = simplify_ring(xy.copy(), tol)
+        want = ref_dp(xy, tol)
+        assert (got == want).all(), (trial, n, tol)
+
+
+def test_st_simplify_struct_roundtrip(spark):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from geojson_spark.functions.constructors import st_linestring
+    from geojson_spark.functions.measures import st_simplify
+    from geojson_spark.sources.geojson import to_geometry_json
+
+    # a zigzag with tiny perturbations: simplification keeps the corners
+    pts = [(0.0, 0.0), (1.0, 0.001), (2.0, 0.0), (2.001, 1.0), (2.0, 2.0), (3.0, 2.0)]
+    arr = F.array(*[F.array(F.lit(x), F.lit(y)) for x, y in pts])
+    df = spark.range(1).select(st_linestring(arr).alias("g"))
+    simp = df.select(to_geometry_json(st_simplify(F.col("g"), 0.01)).alias("j"))
+    coords = json.loads(simp.first().j)["coordinates"]
+    assert coords[0] == [0.0, 0.0] and coords[-1] == [3.0, 2.0]
+    assert len(coords) < len(pts)
+    assert [2.0, 2.0] in coords  # the real corner survives
