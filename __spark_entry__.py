@@ -444,6 +444,18 @@ def _hash_split_oracle_sql() -> str:
     """
 
 
+def _stratified_oracle_sql(fractions: dict, seed: int = 7) -> str:
+    """Replicates stratified_sample — thresholds via the SAME
+    ``int(float(frac) * 2^32)`` conversion as the operator."""
+    scale = float(1 << 32)
+    u = _sql_md5_prefix32("doc_id", seed)
+    conds = " OR ".join(
+        f"(lang = '{k}' AND {u} < {int(float(v) * scale)})"
+        for k, v in fractions.items()
+    )
+    return f"SELECT doc_id, lang FROM documents WHERE {conds}"
+
+
 def _contamination_oracle_sql() -> str:
     return f"""
 WITH s AS (
@@ -646,6 +658,22 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return hash_split(docs, seed=42).select("doc_id", "split")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class-balanced sampling: per-language keep fractions
+    via the md5-hash unit (stable under repartitioning/growth) — 'zh'
+    absent from the fractions map is dropped entirely."""
+    from geojson_spark.operators.splits import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(
+        docs,
+        strata_col="lang",
+        fractions={"en": 0.3, "de": 0.9, "fr": 0.9, "es": 0.5},
+        seed=7,
+    )
+    return out.select("doc_id", "lang")
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1504,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": wrap(q_token_stats),
         "bpe_token_stats": wrap(q_bpe_token_stats),
         "hash_split": wrap(q_hash_split),
+        "stratified_sample": wrap(q_stratified_sample),
         "contamination": wrap(q_contamination),
         "pack_sequences": wrap(q_pack_sequences),
         "polygon_metrics": wrap(q_polygon_metrics),
@@ -1927,6 +1956,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _fp_oracle_sql(),
         "hash_split": _hash_split_oracle_sql(),
         "contamination": _contamination_oracle_sql(),
+        "stratified_sample": _stratified_oracle_sql(
+            {"en": 0.3, "de": 0.9, "fr": 0.9, "es": 0.5}, seed=7
+        ),
         "geohash_counts": f"""
             SELECT {_geohash_sql("lon", "lat", 4)} AS geohash,
                    count(*) AS n_points

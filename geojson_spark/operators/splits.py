@@ -53,6 +53,32 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    fractions: dict,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its md5-hash
+    unit falls under its stratum's fraction — the reproducible
+    alternative to ``sampleBy`` (a row's fate never changes with
+    partitioning, cluster size, or table growth, so incremental refreshes
+    are stable). Strata missing from ``fractions`` are dropped. Pure
+    Column expression; no shuffle, no RNG state.
+    """
+    scale = float(1 << 32)
+    u = _hash_unit(F.col(id_col), seed)
+    expr = None
+    for stratum, frac in fractions.items():
+        cond = (F.col(strata_col) == F.lit(stratum)) & (u < int(float(frac) * scale))
+        expr = cond if expr is None else expr | cond
+    if expr is None:
+        expr = F.lit(False)
+    return df.where(expr)
+
+
 def contamination_check(
     train: DataFrame,
     test: DataFrame,

@@ -289,3 +289,19 @@ def test_pack_sequences_greedy_invariants(spark):
         for bin_no, r in first_docs.iterrows():
             if bin_no > 0:
                 assert fills_d[bin_no - 1] + r.n_tokens > 256
+
+def test_stratified_sample_deterministic(spark):
+    from geojson_spark.operators.splits import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fr = {"en": 0.5, "de": 1.0}
+    a = stratified_sample(docs, strata_col="lang", fractions=fr).select("doc_id")
+    b = stratified_sample(docs.repartition(7), strata_col="lang", fractions=fr).select("doc_id")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    kept = stratified_sample(docs, strata_col="lang", fractions=fr).groupBy("lang").count()
+    tot = docs.groupBy("lang").count()
+    k = {r.lang: r["count"] for r in kept.collect()}
+    t = {r.lang: r["count"] for r in tot.collect()}
+    assert k["de"] == t["de"]          # fraction 1.0 keeps everything
+    assert 0.3 * t["en"] < k["en"] < 0.7 * t["en"]
+    assert "zh" not in k               # unlisted strata dropped
