@@ -107,3 +107,20 @@ def run_stateful_sessions(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(stream: DataFrame, *, key_cols: list[str], ts_col: str = "ts",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each key, with
+    state bounded by the watermark (``dropDuplicatesWithinWatermark`` —
+    a duplicate arriving after the watermark passes its first occurrence
+    may re-emit, which is the standard bounded-state trade; an unbounded
+    ``dropDuplicates`` would grow state forever on a real stream). The
+    same call works on batch frames via plain dropDuplicates."""
+    if not stream.isStreaming:
+        return stream.dropDuplicates(key_cols)
+    return (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+    )

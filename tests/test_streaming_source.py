@@ -131,3 +131,57 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     b = {tuple(map(str, r)) for r in batch.collect()}
     assert g == b
     assert len(g) > 0
+
+
+def test_stream_dedup_bounded_state(spark, tmp_path):
+    import shutil
+
+    from geojson_spark.streaming.stateful import stream_dedup
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(src, d / "a.parquet")
+    shutil.copy(src, d / "b.parquet")  # every event duplicated across files
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    q = (
+        stream_dedup(stream, key_cols=["event_id"], watermark="10 days")
+        .writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_t").count()
+    want = spark.read.parquet(src).select("event_id").distinct().count()
+    assert got == want
+    # batch path: plain dropDuplicates
+    batch = stream_dedup(spark.read.parquet(str(d)), key_cols=["event_id"]).count()
+    assert batch == want
+
+
+def test_geojson_streaming_sink_roundtrip(spark, tmp_path):
+    from geojson_spark.sources.geojson import read_geojson
+    from geojson_spark.streaming.sinks import write_geojson_stream
+
+    d = tmp_path / "nd"
+    d.mkdir()
+    _write_ndjson(d / "a.ndjson", 0, 30)
+
+    feats = read_geojson_stream(spark, str(d))
+    q = write_geojson_stream(
+        feats,
+        str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="gj_sink_t",
+    )
+    q.awaitTermination(120)
+    # write_geojson emits a directory of part files per batch
+    back = read_geojson(spark, str(tmp_path / "out" / "*" / "*.geojson"))
+    rows = back.collect()
+    assert len(rows) == 30
+    ids = {json.loads(r.id_json) for r in rows if r.id_json is not None}
+    assert ids == set(range(30))
