@@ -60,6 +60,11 @@ HEADLINE = [
     "hash_split",
     "contamination",
     "pack_sequences",
+    "stratified_sample",
+    "polygon_metrics",
+    "bbox_join",
+    "geohash_counts",
+    "tile_pyramid",
 ]
 
 
