@@ -311,8 +311,8 @@ def run_scaling(n_images: int) -> dict[str, float]:
         # 2. Absolute throughput swings ~2x over minutes (shared tenancy):
         #    interleave reps of BOTH levels and take per-level minimum wall
         #    (symmetric, robust to time-varying throttle).
-        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-        budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "420"))
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+        budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "560"))
         walls: list[dict[int, float]] = []
         t_scale0 = time.time()
         for rep in range(reps):
