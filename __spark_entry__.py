@@ -173,9 +173,12 @@ def _minhash_oracle_sql(
 ) -> str:
     """DuckDB replica of minhash_lsh_dedup: shingle → md5 base → 64
     universal-hash remixes → per-band FNV fold → band-collision candidates
-    → exact-Jaccard verify. Empty documents produce no shingles here while
-    Spark gives them all-zero signatures; such pairs verify to jaccard 0
-    and are filtered on both sides, so outputs agree."""
+    → exact-Jaccard verify. Empty documents keep the '' shingle exactly
+    like the engine's _shingle_sets verify path, so empty-doc pairs are
+    emitted (jaccard 1.0) by BOTH sides; their band keys differ across
+    engines (zero signature vs md5('') signature) but collide within each
+    engine, and a spurious empty↔non-empty collision verifies to jaccard
+    0 either way."""
     rows = n_hashes // n_bands
     fnv_off = 0xCBF29CE484222325
     fnv_prime = 0x100000001B3
@@ -194,7 +197,7 @@ def _minhash_oracle_sql(
     return f"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
   FROM documents
 ),
 sh AS (
@@ -202,11 +205,10 @@ sh AS (
     SELECT doc_id,
            CASE WHEN len(words) >= {k}
                 THEN array_to_string(words[i:i+{k - 1}], ' ')
-                ELSE array_to_string(words, ' ') END AS shingle
+                ELSE coalesce(array_to_string(words, ' '), '') END AS shingle
     FROM w, LATERAL (
       SELECT unnest(generate_series(1, greatest(len(words) - {k - 1}, 1))) AS i
     )
-    WHERE len(words) > 0
   )
 ),
 base AS (
@@ -278,7 +280,7 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
     return f"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
   FROM documents
 ),
 feats AS (
@@ -320,11 +322,13 @@ WHERE bit_count(xor(h_a::UBIGINT, h_b::UBIGINT)) <= {max_hamming}
 """
 
 
-def _sql_pow_chain(e_expr: str, base: int, prefix: str, mod: int, maxj: int = 22):
+def _sql_pow_chain(e_expr: str, base: int, prefix: str, mod: int, maxj: int = 27):
     """Lateral-alias chain computing base^(e_expr) mod ``mod`` via binary
     decomposition with Python-precomputed base^(2^j) constants — SQL has
-    no modpow, but 22 CASE-guarded multiplies cover exponents to 2^22.
-    Returns (column fragment, final alias)."""
+    no modpow; ``maxj`` CASE-guarded multiplies cover exponents below
+    2^maxj (default 2^27 = documents up to 128 MB — exponent bits above
+    the cap would silently drop, so the cap is set far past any document
+    the driver feeds this oracle)."""
     consts = []
     b = base % mod
     for _ in range(maxj):
@@ -427,10 +431,10 @@ def _shingle3_sql(src: str, extra_cols: str = "") -> str:
     SELECT doc_id{extra_cols},
            CASE WHEN len(words) >= 3
                 THEN array_to_string(words[i:i+2], ' ')
-                ELSE array_to_string(words, ' ') END AS shingle
+                ELSE coalesce(array_to_string(words, ' '), '') END AS shingle
     FROM (
       SELECT doc_id{extra_cols},
-             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+             list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
       FROM {src}
     ), LATERAL (
       SELECT unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
@@ -1821,7 +1825,7 @@ def oracle_sql() -> dict[str, str]:
         "top_words": """
             SELECT word, count(*) AS doc_freq FROM (
               SELECT DISTINCT doc_id, unnest(list_filter(
-                string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+                string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS word
               FROM documents
             )
             GROUP BY word
@@ -1846,7 +1850,7 @@ def oracle_sql() -> dict[str, str]:
               FROM t
             ), w AS (
               SELECT doc_id, list_distinct(list_transform(
-                  (list_filter(string_split_regex(text, '\s+'), x -> x <> ''))[1:200],
+                  (list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> ''))[1:200],
                   x -> lower(x))) AS words
               FROM documents
             ), h AS (
@@ -1875,7 +1879,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keepers": r"""
             WITH RECURSIVE w AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+                     list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
               FROM documents
             ), t AS (
               SELECT doc_id,
@@ -2058,7 +2062,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": r"""
             WITH w AS (
               SELECT doc_id, list_distinct(list_transform(
-                  (list_filter(string_split_regex(text, '\s+'), x -> x <> ''))[1:200],
+                  (list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> ''))[1:200],
                   x -> lower(x))) AS words
               FROM documents
             ), h AS (
@@ -2079,7 +2083,7 @@ def oracle_sql() -> dict[str, str]:
         "shingle_jaccard": r"""
             WITH w AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+                     list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
               FROM documents
             ), t AS (
               SELECT doc_id,

@@ -234,9 +234,12 @@ def geometry_collection_to_features(
     df: DataFrame, geometry_col: str = "geometry"
 ) -> DataFrame:
     """C6/C9: GeometryCollection rows → one Feature row per child geometry
-    with empty bbox/properties/FM (From<&GeometryCollection> for
-    FeatureCollection, from_geo_types.rs:120-140). Non-collection rows
-    wrap as single features (child_idx -1)."""
+    (From<&GeometryCollection> for FeatureCollection,
+    from_geo_types.rs:120-140, whose per-child ``.into()`` is the
+    Geometry→Feature conversion of feature.rs:140-150 — so a child that
+    carries bbox/foreign members keeps them on its feature envelope;
+    id/properties stay None). Non-collection rows wrap as single
+    features (child_idx -1)."""
     from geojson_spark.sources.geojson import explode_geometry_collections
 
     exploded = explode_geometry_collections(df, geometry_col)

@@ -31,11 +31,19 @@ def _fold_sum(terms: Column) -> Column:
     return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
 
 
-def _ring_seq(coords: Column) -> Column:
-    """Edge indices 1..n-1 of a closed dim-2 ring (position n repeats
-    position 1, so edges don't wrap)."""
-    n = (F.size(coords) / 2).cast("int")
-    return F.sequence(F.lit(1), n - 1)
+def _first_ring_n(geometry: Column) -> Column:
+    """Position count of the FIRST ring — ``ring_offsets[1]`` when the
+    offsets are present (polygons with holes / multi-part geometries must
+    not fold across ring boundaries), else the whole coords array."""
+    ro = geometry["ring_offsets"]
+    whole = (F.size(geometry["coords"]) / 2).cast("int")
+    return F.when(F.size(ro) >= 2, F.element_at(ro, 2).cast("int")).otherwise(whole)
+
+
+def _ring_seq(geometry: Column) -> Column:
+    """Edge indices 1..n-1 of the first closed dim-2 ring (position n
+    repeats position 1, so edges don't wrap)."""
+    return F.sequence(F.lit(1), _first_ring_n(geometry) - 1)
 
 
 def st_area(geometry: Column) -> Column:
@@ -47,7 +55,7 @@ def st_area(geometry: Column) -> Column:
         x2, y2 = _xy(c, i + 1)
         return x1 * y2 - x2 * y1
 
-    return F.abs(_fold_sum(F.transform(_ring_seq(c), term))) / 2.0
+    return F.abs(_fold_sum(F.transform(_ring_seq(geometry), term))) / 2.0
 
 
 def st_perimeter(geometry: Column) -> Column:
@@ -62,14 +70,14 @@ def st_perimeter(geometry: Column) -> Column:
         dx, dy = x2 - x1, y2 - y1
         return F.sqrt(dx * dx + dy * dy)
 
-    return _fold_sum(F.transform(_ring_seq(c), term))
+    return _fold_sum(F.transform(_ring_seq(geometry), term))
 
 
 def st_centroid_xy(geometry: Column) -> tuple[Column, Column]:
     """Vertex-mean centroid of the first ring's distinct vertices (the
     closing duplicate excluded): (Σxᵢ/(n−1), Σyᵢ/(n−1))."""
     c = geometry["coords"]
-    seq = _ring_seq(c)
+    seq = _ring_seq(geometry)
     n1 = F.size(seq).cast("double")
     cx = _fold_sum(F.transform(seq, lambda i: _xy(c, i)[0])) / n1
     cy = _fold_sum(F.transform(seq, lambda i: _xy(c, i)[1])) / n1
@@ -109,6 +117,16 @@ def st_simplify(geometry: Column, tolerance: float) -> Column:
                 ring = coords[ro[r] * dim : ro[r + 1] * dim].reshape(-1, dim)
                 mask = simplify_ring(ring[:, :2].copy(), tolerance)
                 kept = ring[mask]
+                # a closed ring must keep ≥ 4 positions (spec minimum for
+                # a valid Polygon ring); when the tolerance would collapse
+                # it below that, keep the original ring unsimplified
+                closed = (
+                    len(ring) >= 2
+                    and ring[0, 0] == ring[-1, 0]
+                    and ring[0, 1] == ring[-1, 1]
+                )
+                if closed and len(kept) < 4:
+                    kept = ring
                 new_coords.extend(kept.ravel().tolist())
                 new_ro.append(new_ro[-1] + len(kept))
             out = dict(g)

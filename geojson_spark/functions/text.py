@@ -13,7 +13,7 @@ import re
 import numpy as np
 import pandas as pd
 
-_WORD_RE = re.compile(r"\S+")
+_WORD_RE = re.compile(r"[^ \t\n\x0b\f\r]+")  # Java-\s complement: engine-portable
 _PUNCT_RE = re.compile(r"[.,!?;:]")
 
 # tiny per-language stopword profiles for the n-gram/stopword language-ID

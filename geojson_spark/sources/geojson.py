@@ -163,7 +163,10 @@ def read_geojson(
                     head = fh.read(4096)
                     kind = _sniff_kind(head)
                     while kind is None and len(head) < (1 << 24):
-                        more = fh.read(1 << 16)
+                        # geometric growth: each retry doubles the window,
+                        # so the repeated full rescans sum to O(n), not
+                        # O(n²/chunk)
+                        more = fh.read(max(1 << 16, len(head)))
                         if not more:
                             break
                         head += more

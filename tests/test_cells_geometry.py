@@ -283,3 +283,17 @@ def test_st_simplify_struct_roundtrip(spark):
     assert coords[0] == [0.0, 0.0] and coords[-1] == [3.0, 2.0]
     assert len(coords) < len(pts)
     assert [2.0, 2.0] in coords  # the real corner survives
+
+
+def test_st_simplify_keeps_closed_ring_valid(spark):
+    """Over-aggressive tolerance must not collapse a closed ring below
+    the 4-position Polygon minimum — the original ring is kept."""
+    from pyspark.sql import functions as F
+
+    from geojson_spark.functions.constructors import st_rect
+    from geojson_spark.functions.measures import st_simplify
+
+    g = st_rect(F.lit(0.0), F.lit(0.0), F.lit(0.5), F.lit(0.5))
+    row = spark.range(1).select(st_simplify(g, 10.0).alias("s")).first().s
+    assert row.ring_offsets == [0, 5]  # untouched: 5 positions, closed
+    assert len(row.coords) == 10

@@ -381,3 +381,26 @@ def test_geometry_measures(spark):
     assert row.rcx == 1.0 and row.rcy == 0.5  # vertex mean of the 4 corners
     assert row.ta == 6.0 and row.tp == 12.0  # 3-4-5 right triangle
     assert abs(row.tcx - 4.0 / 3.0) < 1e-15 and abs(row.tcy - 1.0) < 1e-15
+
+
+def test_measures_use_first_ring_only(spark):
+    """A polygon with a hole: area/perimeter fold must stop at the first
+    ring (no phantom bridge edges, no hole contributions)."""
+    from geojson_spark.functions.constructors import st_polygon
+    from geojson_spark.functions.measures import st_area, st_perimeter
+
+    lit = F.lit
+
+    def ring(*pts):
+        return F.array(*[F.array(lit(x), lit(y)) for x, y in pts])
+
+    outer = ring((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0))
+    hole = ring((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0))
+    row = (
+        spark.range(1)
+        .select(st_polygon(F.array(outer, hole)).alias("g"))
+        .select(st_area(F.col("g")).alias("a"), st_perimeter(F.col("g")).alias("p"))
+        .first()
+    )
+    assert row.a == 16.0  # outer ring only
+    assert row.p == 16.0

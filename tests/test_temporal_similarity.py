@@ -759,3 +759,52 @@ def test_asof_join_forward_matches_naive(spark):
     assert len(f) == ev.count()
     matched = sum(1 for v in f.values() if v is not None)
     assert 0 < matched  # scenario has both matched and unmatched rows
+
+
+def test_minhash_oracle_parity_with_empty_docs(spark, tmp_path):
+    """Spark minhash pairs == the DuckDB oracle on a corpus containing
+    empty and whitespace-only documents (the corner the oracle's shingle
+    CTE must reproduce: _shingle_sets gives such docs the '' shingle)."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": [
+                "",                       # empty
+                "   ",                    # whitespace-only
+                "",                       # empty → pairs with 0 and 1
+                "the quick brown fox jumps over the lazy dog today",
+                "the quick brown fox jumps over the lazy dog today",  # exact dup of 3
+                "completely different content with its own words here",
+                "another unrelated document about spark and parquet",
+                "the quick brown fox jumps over the lazy cat today",
+            ],
+            "lang": ["en"] * 8,
+            "source": ["t"] * 8,
+            "n_chars": [0, 3, 0, 49, 49, 52, 50, 49],
+        }
+    )
+    d = tmp_path / "docs"
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(d))
+
+    # queries take sf_dir with documents.parquet inside
+    import shutil
+
+    sfdir = tmp_path / "sf"
+    sfdir.mkdir()
+    shutil.copytree(d, sfdir / "documents.parquet")
+    got = E.queries()["minhash_near_dups"](spark, str(sfdir)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sfdir}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(E.oracle_sql()["minhash_near_dups"]).fetchdf()
+    g = sorted(map(tuple, got[["id_a", "id_b", "jaccard"]].values.tolist()))
+    w = sorted(map(tuple, want[["id_a", "id_b", "jaccard"]].values.tolist()))
+    assert g == w
+    pairs = {(a, b) for a, b, _ in g}
+    assert (0, 2) in pairs  # the two empty docs pair with jaccard 1.0
+    assert (3, 4) in pairs  # exact dup
