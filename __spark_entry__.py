@@ -1884,7 +1884,7 @@ def oracle_sql() -> dict[str, str]:
             ), t AS (
               SELECT doc_id,
                      list_distinct(
-                       CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                       CASE WHEN len(words) < 3 THEN [coalesce(array_to_string(words, ' '), '')]
                        ELSE list_transform(generate_series(1, len(words) - 2),
                                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
                        END) AS sh
@@ -2088,7 +2088,7 @@ def oracle_sql() -> dict[str, str]:
             ), t AS (
               SELECT doc_id,
                      list_distinct(
-                       CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                       CASE WHEN len(words) < 3 THEN [coalesce(array_to_string(words, ' '), '')]
                        ELSE list_transform(generate_series(1, len(words) - 2),
                                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
                        END) AS sh

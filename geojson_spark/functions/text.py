@@ -13,7 +13,16 @@ import re
 import numpy as np
 import pandas as pd
 
-_WORD_RE = re.compile(r"[^ \t\n\x0b\f\r]+")  # Java-\s complement: engine-portable
+# The engine-wide word-boundary definition: the explicit Java-\s set,
+# spelled so the SAME backslash text is a valid class in Python re, Java
+# regex, and RE2 (DuckDB). Every tokenizing split/count in the engine and
+# every DuckDB oracle must use these (guarded by a pytest consistency
+# check).
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+WS_SPLIT_RE = WS_CLASS + "+"
+WORD_RE = r"[^ \t\n\x0B\f\r]+"
+
+_WORD_RE = re.compile(WORD_RE)
 _PUNCT_RE = re.compile(r"[.,!?;:]")
 
 # tiny per-language stopword profiles for the n-gram/stopword language-ID
@@ -27,7 +36,7 @@ _LANG_MARKERS = {
 
 
 def token_count(texts: pd.Series) -> np.ndarray:
-    return texts.fillna("").str.count(r"\S+").to_numpy(np.int64)
+    return texts.fillna("").str.count(WORD_RE).to_numpy(np.int64)
 
 
 def punct_count(texts: pd.Series) -> np.ndarray:

@@ -232,7 +232,7 @@ def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, k: int):
     every reference, so the element_at form re-ran the regex split k times
     PER SHINGLE (~20× slower end-to-end); slices reference ``words`` only k
     times per row."""
-    words = F.filter(F.split(F.col(text_col), r"[ \t\n\x0B\f\r]+"), lambda x: x != F.lit(""))
+    words = F.filter(F.split(F.col(text_col), T.WS_SPLIT_RE), lambda x: x != F.lit(""))
     n = F.size(words)
     m = n - (k - 1)  # number of shingles; CASE guards m >= 1 (lazy branches)
     sh = F.slice(words, 1, m)
@@ -320,35 +320,27 @@ def set_similarity_join(
         n_docs = docs.count()
         # worst-case count-path volume is Σ_w df·(df−1)/2 ≤ S_max · n·(n−1)/2
         # (every one of a doc's ≤ S_max shingles shared by every pair).
-        # S_max is estimated from a tiny ~256-doc sample (one narrow job,
-        # no shuffle) with a 2× margin for docs the sample missed; when
-        # even that fits the budget the count path is safe and the df
-        # probe is skipped. An n·(n−1)/2-only bound would be a LOWER
-        # bound and skip the probe exactly when boilerplate blows it up.
-        s_frac = min(1.0, 256.0 / max(n_docs, 1))
-        s_src = docs if s_frac >= 1.0 else docs.sample(False, s_frac, seed=13)
-        s_max = (
-            _shingle_sets(s_src, id_col, text_col, k_shingle)
-            .select(F.max(F.size("sh")).alias("m"))
-            .first()["m"]
-            or 1
-        )
+        # S_max is ESTIMATED from a ~256-doc sample with a 2× margin — a
+        # heavy tail the sample missed can still slip through, in which
+        # case the count join is oversized but bounded (never a
+        # crossJoin); an n·(n−1)/2-only bound would be a LOWER bound and
+        # skip the probe exactly when boilerplate blows it up.
+        def sampled_toks(target_docs: float, seed: int):
+            frac = min(1.0, target_docs / max(n_docs, 1))
+            src = docs if frac >= 1.0 else docs.sample(False, frac, seed=seed)
+            return _shingle_sets(src, id_col, text_col, k_shingle), frac
+
+        s_toks, _ = sampled_toks(256, seed=13)
+        s_max = s_toks.select(F.max(F.size("sh")).alias("m")).first()["m"] or 1
         if n_docs * (n_docs - 1) // 2 * int(s_max) * 2 <= auto_count_budget:
             method = "count"
         else:
             # probe a bounded document sample so the decision costs
             # O(sample) regardless of corpus size (one metadata-cheap
             # count + ~4k-doc shingle pass), scaled back up by 1/f²
-            frac = min(1.0, 4096.0 / max(n_docs, 1))
-            if frac >= 1.0:
-                probe_toks, scale = toks, 1.0
-            else:
-                probe_toks = _shingle_sets(
-                    docs.sample(False, frac, seed=7), id_col, text_col, k_shingle
-                )
-                scale = 1.0 / (frac * frac)
+            probe_toks, frac = sampled_toks(4096, seed=7)
             method = choose_set_similarity_method(
-                probe_toks, count_budget=auto_count_budget, scale=scale
+                probe_toks, count_budget=auto_count_budget, scale=1.0 / (frac * frac)
             )
 
     if method == "count":

@@ -166,7 +166,7 @@ def read_geojson(
                         # geometric growth: each retry doubles the window,
                         # so the repeated full rescans sum to O(n), not
                         # O(n²/chunk)
-                        more = fh.read(max(1 << 16, len(head)))
+                        more = fh.read(min(max(1 << 16, len(head)), (1 << 24) - len(head)))
                         if not more:
                             break
                         head += more

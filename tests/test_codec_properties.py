@@ -136,3 +136,30 @@ def test_foreign_members_roundtrip(feat, extras):
     back = json.loads(serialize_geojson(kind, obj))
     for k, v in extras.items():
         assert back[k] == v, f"foreign member {k!r} must survive"
+
+
+def test_whitespace_class_consistent_across_engine_and_oracles():
+    """Every tokenizing split in the engine and every DuckDB oracle must
+    use the ONE canonical whitespace set (text.WS_CLASS) — Python \\s,
+    Java \\s, and RE2 \\s disagree on \\x0B/NBSP, which silently breaks
+    Spark↔DuckDB parity. The oracle strings may spell the class with
+    backslash escapes or literal control characters; normalize both."""
+    import re as _re
+
+    import __spark_entry__ as E
+    from geojson_spark.functions.text import WS_CLASS
+
+    def charset(cls_text: str) -> frozenset:
+        # interpret backslash escapes if present, then collect the chars
+        body = cls_text[1:-1]
+        body = body.encode().decode("unicode_escape")
+        return frozenset(body)
+
+    canon = charset(WS_CLASS)
+    assert canon == frozenset(" \t\n\x0b\f\r")
+    seen = 0
+    for name, sql in E.oracle_sql().items():
+        for m in _re.finditer(r"string_split_regex\([^,]+,\s*'(\[[^]]*\])\+'", sql):
+            seen += 1
+            assert charset(m.group(1)) == canon, (name, repr(m.group(1)))
+    assert seen >= 8  # minhash, simhash, contamination, lang×2, corpus×2, jaccard…

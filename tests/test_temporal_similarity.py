@@ -808,3 +808,14 @@ def test_minhash_oracle_parity_with_empty_docs(spark, tmp_path):
     pairs = {(a, b) for a, b, _ in g}
     assert (0, 2) in pairs  # the two empty docs pair with jaccard 1.0
     assert (3, 4) in pairs  # exact dup
+
+    # the exact set-similarity oracle must agree on the same corpus
+    # (empty docs share the '' shingle: n_inter = n_union = 1 both sides)
+    sj_got = sorted(
+        map(tuple, E.queries()["shingle_jaccard"](spark, str(sfdir)).toPandas().values.tolist())
+    )
+    sj_want = sorted(
+        map(tuple, con.execute(E.oracle_sql()["shingle_jaccard"]).fetchdf().values.tolist())
+    )
+    assert sj_got == sj_want
+    assert any(a == 0 and b == 2 for a, b, *_ in sj_got)
