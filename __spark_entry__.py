@@ -991,6 +991,43 @@ def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeometryCollection fidelity through the oracle gate: build
+    GC-bearing Feature docs in SQL, parse (children land in geoms_json —
+    Spark structs cannot recurse), explode to concrete child geometries
+    (C7 flatten), and extract per-child scalars a DuckDB oracle
+    reproduces. Exercises the GC codec path under the hash check, which
+    previously lived only in pytest."""
+    from geojson_spark.sources.geojson import explode_geometry_collections, parse_features_udf
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey")
+    px = (k + 0.5).cast("string")
+    py = (k * 2 + 0.25).cast("string")
+    lx = (k - 0.5).cast("string")
+    ly = (k + 0.125).cast("string")
+    doc = F.concat(
+        F.lit('{"type":"Feature","geometry":{"type":"GeometryCollection","geometries":['),
+        F.lit('{"type":"Point","coordinates":['), px, F.lit(","), py, F.lit("]},"),
+        F.lit('{"type":"LineString","coordinates":[['), lx, F.lit(","), ly,
+        F.lit("],["), px, F.lit(","), ly, F.lit("]]}"),
+        F.lit(']},"properties":null}'),
+    )
+    parsed = nat.select(
+        k.cast("bigint").alias("fid"),
+        F.explode(parse_features_udf(doc)).alias("f"),
+    ).select("fid", F.col("f.geometry").alias("geometry"))
+    exploded = explode_geometry_collections(parsed, "geometry")
+    return exploded.select(
+        "fid",
+        F.col("child_idx").cast("bigint").alias("child_idx"),
+        F.col("geometry.geom_type").alias("geom_type"),
+        F.element_at("geometry.coords", 1).alias("x0"),
+        F.element_at("geometry.coords", 2).alias("y0"),
+        F.size("geometry.coords").cast("bigint").alias("n_coords"),
+    )
+
+
 def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic counts; DuckDB oracle replicates the
     stopword-profile argmax via list_intersect, and accuracy vs the
@@ -1549,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_parse": wrap(q_geojson_parse),
         "polygon_roundtrip": wrap(q_polygon_roundtrip),
         "fidelity_roundtrip": wrap(q_fidelity_roundtrip),
+        "gc_roundtrip": wrap(q_gc_roundtrip),
         "lang_distribution": wrap(q_lang_distribution),
         "minhash_near_dups": wrap(q_minhash_near_dups),
         "simhash_near_dups": wrap(q_simhash_near_dups),
@@ -1733,6 +1771,21 @@ def oracle_sql() -> dict[str, str]:
                    ((n_nationkey * 37) % 300 - 160 + 0.0005) + 12.0 AS x1,
                    ((n_nationkey * 53) % 140 - 75 + 0.0005) + 9.0 AS y1,
                    10 AS n_coords
+            FROM nation
+        """,
+        "gc_roundtrip": """
+            SELECT n_nationkey::BIGINT AS fid, 0::BIGINT AS child_idx,
+                   'Point' AS geom_type,
+                   n_nationkey + 0.5 AS x0,
+                   n_nationkey * 2 + 0.25 AS y0,
+                   2::BIGINT AS n_coords
+            FROM nation
+            UNION ALL
+            SELECT n_nationkey::BIGINT AS fid, 1::BIGINT AS child_idx,
+                   'LineString' AS geom_type,
+                   n_nationkey - 0.5 AS x0,
+                   n_nationkey + 0.125 AS y0,
+                   4::BIGINT AS n_coords
             FROM nation
         """,
         "fidelity_roundtrip": """
