@@ -110,6 +110,8 @@ def s2_cover_udf(levels=S2_COVER_LEVELS, max_cover_cells: int = 1024):
     Samples the bbox at half-cell pitch; over-approximation is refined by
     exact PIP after the join."""
 
+    from geojson_spark.functions.geometry import polygon_cover_cells
+
     @F.pandas_udf(ArrayType(LongType()))
     def _cover(bbox: pd.Series) -> pd.Series:
         covers = []
@@ -124,14 +126,18 @@ def s2_cover_udf(levels=S2_COVER_LEVELS, max_cover_cells: int = 1024):
                 if (span / _s2_edge_deg(lv)) ** 2 * 4 <= max_cover_cells:
                     level = lv
                     break
-            step = _s2_edge_deg(level) / 2.0
-            xs = np.arange(b[0] - step, b[2] + 2 * step, step)
-            ys = np.arange(b[1] - step, b[3] + 2 * step, step)
-            gx, gy = np.meshgrid(xs, ys)
-            cover = np.unique(
-                _cells.s2_cell_id(
-                    np.clip(gx.ravel(), -180, 180), np.clip(gy.ravel(), -89.999, 89.999), level
-                )
+            # quarter-edge pitch: worst-case sheared cells near face
+            # corners have an inscribed axis-aligned square of only
+            # ~0.42·edge, so a half-edge lattice could MISS a covering
+            # cell entirely — an under-approximation would silently drop
+            # points, not just widen candidates
+            step = _s2_edge_deg(level) / 4.0
+            cover = polygon_cover_cells(
+                b.tolist(),
+                lambda lo, la, lv=level: _cells.s2_cell_id(
+                    np.clip(lo, -180, 180), np.clip(la, -89.999, 89.999), lv
+                ),
+                step,
             )
             covers.append(cover.tolist())
         return pd.Series(covers)
@@ -230,7 +236,7 @@ def pip_join(
     # duplicate pairs arise. Point-side fan-out is ladder-width (4), which
     # a broadcast join absorbs without any shuffle.
     if index == "grid":
-        cover_expr = grid_cover_udf(cpd)(F.col("bbox"))
+        cover_expr = grid_cover_udf(cpd, max_cover_cells)(F.col("bbox"))
         exploded = polygons.select(*poly_cols, F.explode(cover_expr).alias("cell_id"))
         pcell = grid_cell(F.col(lon), F.col(lat), cpd)
         keys = []
@@ -375,8 +381,10 @@ def knn_join(
         return topk.select(q_id, q_lon, q_lat, p_id, p_lon, p_lat, "dist_km", "rn")
 
     # topk feeds three consumers (bound stats, the complete join, the
-    # residual anti-join) — cache it so the ring join + window run once
-    topk = topk.cache()
+    # residual anti-join) — eager localCheckpoint materializes it once AND
+    # lets the ContextCleaner reclaim the blocks when the DataFrame is
+    # GC'd (a .cache() here would leak storage across repeated calls)
+    topk = topk.localCheckpoint(eager=True)
 
     # completeness bound: a point outside Chebyshev ring r differs by ≥ r
     # whole cells (r/cpd degrees) in lon or lat. For haversine the lon case
@@ -391,9 +399,22 @@ def knn_join(
         bound = F.lit(0.999 * ring * cell_deg * KM_PER_DEG_LAT) * F.least(
             F.lit(1.0), F.cos(F.radians(lat_worst))
         )
-    else:  # euclidean_deg2: dist² ≥ (r·cell_deg)²
+        # the planar grid has no wraparound, so the cell-separation
+        # argument is invalid for queries whose ring could reach across
+        # the antimeridian or a pole (a point 2 km away at lon ∓180-ε is
+        # thousands of cells away in gx) — such queries are never marked
+        # complete and fall through to the brute-force residual
+        margin = (ring + 1) * cell_deg
+        wrap_safe = (F.abs(F.col(q_lon)) <= 180.0 - margin) & (
+            F.abs(F.col(q_lat)) <= 90.0 - margin
+        )
+    else:  # euclidean_deg2: dist² ≥ (r·cell_deg)²; the metric itself is
+        # planar-degree, so no wraparound concern
         bound = F.lit((ring * cell_deg) ** 2)
-    ok = stats.where((F.col("n_cand") >= k) & (F.col("kth_dist") <= bound)).select(q_id)
+        wrap_safe = F.lit(True)
+    ok = stats.where(
+        (F.col("n_cand") >= k) & (F.col("kth_dist") <= bound) & wrap_safe
+    ).select(q_id)
     complete = topk.join(F.broadcast(ok), q_id)
 
     residual_q = queries.join(F.broadcast(ok), q_id, "left_anti").select(q_id, q_lon, q_lat)
@@ -468,9 +489,14 @@ def knn_join_hex(
     topk = cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
     if not exact:
         return topk.select(q_id, p_id, "dist2", "rn")
-    topk = topk.cache()
+    topk = topk.localCheckpoint(eager=True)  # GC-reclaimable, unlike cache()
     size = _hex_size(res)
-    bound2 = max(0.0, (ring * (3.0**0.5) - 2.0) * size) ** 2
+    # a point outside hex-ring r has hex-distance ≥ r+1; center separation
+    # per unit hex distance is MINIMIZED along the lattice diagonal at
+    # 1.5·size (the √3·size axis value is the maximum, not the minimum, so
+    # √3·r − 2 over-promises for r ≥ 7); points deviate ≤ size from their
+    # centers
+    bound2 = max(0.0, (1.5 * (ring + 1) - 2.0) * size) ** 2
     stats = topk.groupBy(q_id, q_lon, q_lat).agg(
         F.count("*").alias("n_cand"), F.max("dist2").alias("kth")
     )
@@ -586,7 +612,9 @@ def asof_join(
 
     lt = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
     # right rows sort before left at equal _t for backward (so last() sees
-    # them), after left for forward (so first() sees them)
+    # them), after left for forward (so first() sees them). Rows with a
+    # NULL right_time can never satisfy <=/>= and are excluded (they would
+    # otherwise sort nulls-first and forward-fill into everything).
     r_side = 0 if backward else 2
     r_sel = [F.col(key), F.col(right_time).alias("_t"), F.lit(r_side).alias("_side")]
     r_sel += [F.col(src).alias(f"_r_{out}") for out, src in right_cols.items()]
@@ -596,21 +624,23 @@ def asof_join(
         # backward: last() picks max tie at equal time (asc order);
         # forward: first() picks min tie at equal time (asc order)
         order.append(F.col("_tie").asc_nulls_first())
-    rt = right.select(*r_sel)
+    rt = right.where(F.col(right_time).isNotNull()).select(*r_sel)
     u = lt.unionByName(rt, allowMissingColumns=True)
     base = Window.partitionBy(key).orderBy(*order)
+    # fill ONE struct holding the whole winning right row, then unpack:
+    # per-column last(ignorenulls) would backfill a NULL inside the
+    # matched row from an OLDER row, tearing values from different rows
+    rs = F.when(
+        F.col("_side") == r_side,
+        F.struct(*[F.col(f"_r_{out}").alias(out) for out in right_cols]),
+    )
     if backward:
         w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        fills = [
-            F.last(F.col(f"_r_{out}"), ignorenulls=True).over(w).alias(out)
-            for out in right_cols
-        ]
+        row_struct = F.last(rs, ignorenulls=True).over(w)
     else:
         w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        fills = [
-            F.first(F.col(f"_r_{out}"), ignorenulls=True).over(w).alias(out)
-            for out in right_cols
-        ]
+        row_struct = F.first(rs, ignorenulls=True).over(w)
+    fills = [row_struct[out].alias(out) for out in right_cols]
     filled = u.select(*[F.col(c) for c in left.columns], F.col("_side"), *fills)
     return filled.where(F.col("_side") == 1).drop("_side")
 

@@ -45,3 +45,25 @@ def test_assign_keepers_chain(spark):
     out = {r.doc_id: r.keeper_id for r in assign_keepers(pairs).collect()}
     assert set(out.values()) == {0}
     assert len(out) == 31
+
+
+def test_knn_hex_wide_ring_bound_is_safe(spark):
+    """ring=8 stresses the completeness bound: the minimum center
+    separation per unit hex distance is 1.5·size (lattice diagonal), not
+    √3·size — an over-promising bound would mark incomplete queries
+    complete and silently return wrong neighbors."""
+    images = generate_images(spark, 1500)
+    pts = images.select(
+        F.col("image_id").alias("p_id"), F.col("lon").alias("p_lon"), F.col("lat").alias("p_lat")
+    ).cache()
+    queries = spark.createDataFrame(
+        pd.DataFrame({"q_id": [0, 1], "q_lon": [-74.0, 10.0], "q_lat": [40.7, -20.0]})
+    )
+    got = knn_join_hex(queries, pts, k=4, ring=8, res=5).toPandas()
+    qp = queries.toPandas()
+    pp = pts.toPandas()
+    for _, q in qp.iterrows():
+        d = (pp.p_lon - q.q_lon) ** 2 + (pp.p_lat - q.q_lat) ** 2
+        want = [pid for _, pid in sorted(zip(d, pp.p_id))[:4]]
+        g = got[got.q_id == q.q_id].sort_values("rn").p_id.tolist()
+        assert g == want, (q.q_id, g, want)

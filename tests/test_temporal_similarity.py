@@ -819,3 +819,45 @@ def test_minhash_oracle_parity_with_empty_docs(spark, tmp_path):
     )
     assert sj_got == sj_want
     assert any(a == 0 and b == 2 for a, b, *_ in sj_got)
+
+
+def test_asof_join_does_not_tear_rows(spark):
+    """A NULL inside the matched (latest) right row must stay NULL — a
+    per-column fill would backfill it from an OLDER right row."""
+    from geojson_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": pd.to_datetime(["2024-01-03"])})
+    )
+    from datetime import datetime
+
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 10.0, 5.0),
+         (1, datetime(2024, 1, 2), 20.0, None)],
+        "k long, rt timestamp, price double, qty double",
+    )
+    row = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        right_cols={"price": "price", "qty": "qty"},
+    ).first()
+    assert row.price == 20.0
+    assert row.qty is None  # from the matched row, not torn from the older one
+
+
+def test_asof_join_ignores_null_right_time(spark):
+    from geojson_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": pd.to_datetime(["2024-01-03"])})
+    )
+    from datetime import datetime
+
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, datetime(2024, 6, 1), 5.0)],
+        "k long, rt timestamp, price double",
+    )
+    row = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        right_cols={"price": "price"},
+    ).first()
+    assert row.price is None  # no right row at/before t; null-rt row excluded
