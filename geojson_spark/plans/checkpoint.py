@@ -2,20 +2,23 @@
 
 The container has no Iceberg runtime (SURVEY.md environment facts), so the
 "Iceberg table" contract is emulated the way Iceberg itself works: immutable
-data files + an atomically-swapped JSON manifest (write-temp + ``os.replace``).
-That gives the two properties the north rule needs — atomic visibility of
-completed work and partition-granular resume.
+data files + an atomically-swapped JSON manifest (write-temp + ``os.replace``)
+guarded by an exclusive-create lock file so concurrent committers serialize
+instead of losing updates. That gives the properties the north rule needs —
+atomic visibility of completed work and partition-granular resume.
 
 Layout under ``root``:
-    manifest.json                 {"buckets": {bucket: {"rows": n, ...}}, "seq": k}
+    manifest.json                 {"stage":…, "n_buckets":…, "buckets": {…}, "seq": k}
     data/bucket=<b>/part.parquet  output rows of bucket b
     lineage/<stage>-<b>.json      per-bucket lineage record
 
 ``resumable_apply`` splits the input on a bucket column, skips buckets the
-manifest marks complete, processes the rest through the caller's
-DataFrame→DataFrame function, and appends lineage (rows_in, rows_out,
-wall_ms, partition count) per bucket. A killed job re-runs only missing
-buckets; outputs are union(previous parquet, new work).
+manifest marks complete FOR THIS STAGE AND BUCKETING, processes the rest
+through the caller's DataFrame→DataFrame function, and appends lineage
+(rows_in, rows_out, wall_ms, partition count) per bucket. A killed job
+re-runs only missing buckets; outputs are union(previous parquet, new work).
+Resuming with a different ``stage`` or ``n_buckets`` than the manifest
+records raises instead of silently mixing incompatible bucketings.
 """
 
 from __future__ import annotations
@@ -27,6 +30,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_BUCKET_COL = "__ckpt_bucket"  # collision-proof internal name
 
 
 class CheckpointTable:
@@ -46,18 +51,50 @@ class CheckpointTable:
         except FileNotFoundError:
             return {"buckets": {}, "seq": 0}
 
-    def commit_bucket(self, bucket: int, record: dict) -> None:
-        """Atomic manifest swap — the Iceberg commit protocol in miniature."""
-        m = self.read_manifest()
-        m["buckets"][str(bucket)] = record
-        m["seq"] += 1
-        tmp = self._manifest_path + f".tmp{os.getpid()}"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(m, fh)
-        os.replace(tmp, self._manifest_path)
+    def _with_lock(self, fn):
+        """Serialize manifest read-modify-write across processes: exclusive-
+        create lock file with bounded retry (a plain read+replace would lose
+        a concurrent committer's bucket — the opposite of a commit
+        protocol)."""
+        lock = self._manifest_path + ".lock"
+        deadline = time.time() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(f"manifest lock held too long: {lock}")
+                time.sleep(0.05)
+        try:
+            return fn()
+        finally:
+            os.close(fd)
+            os.unlink(lock)
 
-    def completed_buckets(self) -> set[int]:
-        return {int(b) for b in self.read_manifest()["buckets"]}
+    def commit_bucket(self, bucket: int, record: dict, *, meta: dict | None = None) -> None:
+        """Atomic manifest swap under the commit lock."""
+
+        def _commit():
+            m = self.read_manifest()
+            if meta:
+                m.update(meta)
+            m["buckets"][str(bucket)] = record
+            m["seq"] += 1
+            tmp = self._manifest_path + f".tmp{os.getpid()}"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(m, fh)
+            os.replace(tmp, self._manifest_path)
+
+        self._with_lock(_commit)
+
+    def completed_buckets(self, stage: str | None = None) -> set[int]:
+        m = self.read_manifest()
+        return {
+            int(b)
+            for b, rec in m["buckets"].items()
+            if stage is None or rec.get("stage") == stage
+        }
 
     def bucket_data_path(self, bucket: int) -> str:
         return os.path.join(self.root, "data", f"bucket={bucket}")
@@ -72,10 +109,15 @@ class CheckpointTable:
     def lineage(self) -> list[dict]:
         out = []
         d = os.path.join(self.root, "lineage")
-        for fn in sorted(os.listdir(d)):
-            if fn.endswith(".json"):
-                with open(os.path.join(d, fn), encoding="utf-8") as fh:
-                    out.append(json.load(fh))
+
+        def key(fn: str):
+            stem = fn[: -len(".json")]
+            stage, _, b = stem.rpartition("-")
+            return (stage, int(b) if b.isdigit() else -1)
+
+        for fn in sorted((f for f in os.listdir(d) if f.endswith(".json")), key=key):
+            with open(os.path.join(d, fn), encoding="utf-8") as fh:
+                out.append(json.load(fh))
         return out
 
 
@@ -97,36 +139,71 @@ def resumable_apply(
     ``fail_after`` kills the job after N buckets (for kill→resume tests).
     Returns the full output (previously checkpointed ∪ newly computed).
     """
-    bucketed = df.withColumn("_bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)))
-    done = ckpt.completed_buckets()
+    m = ckpt.read_manifest()
+    if m["buckets"]:
+        # resume must match the original run: a different bucket count
+        # re-hashes rows across buckets (duplicating some, dropping
+        # others), and a different stage would silently return the other
+        # stage's output
+        if m.get("n_buckets") not in (None, n_buckets):
+            raise ValueError(
+                f"checkpoint was written with n_buckets={m.get('n_buckets')}, "
+                f"resume requested {n_buckets}"
+            )
+        if m.get("stage") not in (None, stage):
+            raise ValueError(
+                f"checkpoint belongs to stage {m.get('stage')!r}, not {stage!r}"
+            )
+
+    bucketed = df.withColumn(
+        _BUCKET_COL, F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
+    )
+    done = ckpt.completed_buckets(stage)
     todo = [b for b in range(n_buckets) if b not in done]
 
-    processed = 0
-    for b in todo:
-        if fail_after is not None and processed >= fail_after:
-            raise RuntimeError(f"simulated failure after {processed} buckets")
-        t0 = time.time()
-        part = bucketed.where(F.col("_bucket") == b).drop("_bucket")
-        rows_in = part.count()
-        out = fn(part)
-        out_path = ckpt.bucket_data_path(b)
-        out.write.mode("overwrite").parquet(out_path)
-        rows_out = spark.read.parquet(out_path).count()
-        wall_ms = int((time.time() - t0) * 1000)
-        rec = {
-            "stage": stage,
-            "bucket": b,
-            "rows_in": rows_in,
-            "rows_out": rows_out,
-            "wall_ms": wall_ms,
-            "partitions": out.rdd.getNumPartitions() if rows_out else 0,
-        }
-        ckpt.write_lineage(stage, b, rec)
-        ckpt.commit_bucket(b, rec)
-        processed += 1
+    # one pass over the (possibly expensive) source feeds every bucket
+    # iteration; without the persist each bucket re-scans the input twice
+    # (count + write)
+    if todo:
+        bucketed = bucketed.persist()
+    try:
+        processed = 0
+        for b in todo:
+            if fail_after is not None and processed >= fail_after:
+                raise RuntimeError(f"simulated failure after {processed} buckets")
+            t0 = time.time()
+            part = bucketed.where(F.col(_BUCKET_COL) == b).drop(_BUCKET_COL)
+            rows_in = part.count()
+            out = fn(part)
+            out_path = ckpt.bucket_data_path(b)
+            out.write.mode("overwrite").parquet(out_path)
+            # read the materialized files back for rows_out/partitions —
+            # touching out.rdd would re-execute fn's shuffle stages under AQE
+            back = spark.read.parquet(out_path)
+            rows_out = back.count()
+            wall_ms = int((time.time() - t0) * 1000)
+            rec = {
+                "stage": stage,
+                "bucket": b,
+                "rows_in": rows_in,
+                "rows_out": rows_out,
+                "wall_ms": wall_ms,
+                "partitions": back.rdd.getNumPartitions() if rows_out else 0,
+            }
+            ckpt.write_lineage(stage, b, rec)
+            ckpt.commit_bucket(b, rec, meta={"stage": stage, "n_buckets": n_buckets})
+            processed += 1
+    finally:
+        if todo:
+            bucketed.unpersist()
 
-    paths = [ckpt.bucket_data_path(b) for b in sorted(ckpt.completed_buckets())]
-    paths = [p for p in paths if os.path.exists(p)]
+    paths = [ckpt.bucket_data_path(b) for b in sorted(ckpt.completed_buckets(stage))]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        # the commit protocol always writes data before the manifest, so a
+        # manifest-complete bucket with no data directory is corruption —
+        # raise rather than silently return partial results
+        raise RuntimeError(f"checkpoint data missing for committed buckets: {missing}")
     return spark.read.parquet(*paths)
 
 

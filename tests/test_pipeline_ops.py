@@ -305,3 +305,23 @@ def test_stratified_sample_deterministic(spark):
     assert k["de"] == t["de"]          # fraction 1.0 keeps everything
     assert 0.3 * t["en"] < k["en"] < 0.7 * t["en"]
     assert "zh" not in k               # unlisted strata dropped
+
+def test_checkpoint_resume_guards(spark, tmp_path, docs):
+    """Resume with a different n_buckets or stage must raise — a silent
+    re-hash duplicates/drops rows; a stage mismatch returns the wrong
+    stage's data."""
+    ck = CheckpointTable(str(tmp_path / "g"))
+
+    def fn(df):
+        return df.groupBy("lang").agg(F.count("*").alias("n"))
+
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        resumable_apply(spark, docs, fn, ck, stage="s1", bucket_col="doc_id",
+                        n_buckets=4, fail_after=1)
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        resumable_apply(spark, docs, fn, ck, stage="s1", bucket_col="doc_id", n_buckets=8)
+    with pytest.raises(ValueError, match="stage 's1'"):
+        resumable_apply(spark, docs, fn, ck, stage="s2", bucket_col="doc_id", n_buckets=4)
+    # matching resume still completes
+    out = resumable_apply(spark, docs, fn, ck, stage="s1", bucket_col="doc_id", n_buckets=4)
+    assert out.agg(F.sum("n")).first()[0] == docs.count()
