@@ -13,11 +13,13 @@ with cheap parent/children/neighbor arithmetic):
   (~1.27 km² mean cell area).
 
 * **H3-inspired aperture-7 hex index** (``hex_cell_id``): pointy-top axial
-  hex lattice on the equirectangular plane with aperture-7 coarsening
-  (parent sublattice basis {(2,1),(-1,3)}, det 7). NOT bit-compatible with
-  Uber H3 (the icosahedral projection is out of scope — documented in
-  SURVEY.md §7.3); same functional surface: res-9-scale cells, k_ring,
-  parent. Res 9 edge ≈ H3 res 9 (~0.0025° ≈ 250 m at the equator).
+  hex lattice on the equirectangular plane; each resolution scales the
+  lattice by √7 (aperture 7 in area) and ``hex_parent`` assigns by CENTER
+  CONTAINMENT in the coarser, unrotated lattice — hexagons cannot nest
+  exactly, the same approximate-containment H3 itself has. NOT
+  bit-compatible with Uber H3 (the icosahedral projection is out of scope
+  — documented in SURVEY.md §7.3); same functional surface: k_ring,
+  parent. Res-9 center-to-vertex size ≈ 0.0047° (~525 m at the equator).
 
 * **Grid cells** (``grid_cell`` lives in the Spark layer as pure Column
   arithmetic) — the SQL-reproducible stand-in used for DuckDB oracles
@@ -252,14 +254,20 @@ def s2_lsb(level: int) -> np.int64:
 
 
 def s2_cell_id(lon_deg, lat_deg, level: int = 13) -> np.ndarray:
-    """lon/lat arrays → int64 S2-style cell ids at ``level``."""
-    x, y, z = lonlat_to_xyz(lon_deg, lat_deg)
+    """lon/lat arrays → int64 S2-style cell ids at ``level``. Non-finite
+    coordinates map to the sentinel -1 (never a valid id — valid ids carry
+    the trailing level marker), so null-coordinate rows cannot silently
+    join to a real cell."""
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    finite = np.isfinite(lon) & np.isfinite(lat)
+    x, y, z = lonlat_to_xyz(np.where(finite, lon, 0.0), np.where(finite, lat, 0.0))
     face, u, v = _xyz_to_face_uv(x, y, z)
     i = np.clip((_uv_to_st(u) * float(_S2_LIMIT)).astype(np.int64), 0, _S2_LIMIT - 1)
     j = np.clip((_uv_to_st(v) * float(_S2_LIMIT)).astype(np.int64), 0, _S2_LIMIT - 1)
     d = _hilbert_xy_to_d(S2_MAX_LEVEL, i, j)
     leaf = (face << np.int64(61)) | (d << np.int64(1)) | np.int64(1)
-    return s2_parent(leaf, level)
+    return np.where(finite, s2_parent(leaf, level), np.int64(-1))
 
 
 def s2_parent(cell_id: np.ndarray, level: int) -> np.ndarray:
@@ -304,30 +312,26 @@ def s2_cell_center(cell_id, level: int):
     n = float(np.int64(1) << level)
     s = (i.astype(np.float64) + 0.5) / n
     t = (j.astype(np.float64) + 0.5) / n
-    u = _st_to_uv(s)
-    v = _st_to_uv(t)
+    u = np.atleast_1d(_st_to_uv(s))
+    v = np.atleast_1d(_st_to_uv(t))
+    face = np.atleast_1d(face)
     one = np.ones_like(u)
-    # invert face frames of _xyz_to_face_uv
-    xyz = np.empty((3, u.shape[0]), dtype=np.float64)
-    frames = [
-        (one, u, v),      # face 0: x=1, y=u, z=v
-        (-u, one, v),     # face 1
-        (-u, -v, one),    # face 2
-        (-one, -v, -u),   # face 3? derived below
-        (u, -one, -v),    # face 4
-        (v, u, -one),     # face 5
-    ]
-    # Faces 3..5 are the negatives with axes per _xyz_to_face_uv; recompute
-    # exactly by inverting its formulas:
+    # invert the face frames of _xyz_to_face_uv exactly:
     #  f0: u=y/x, v=z/x, x>0      →  (1, u, v)
     #  f1: u=-x/y, v=z/y, y>0     →  (-u, 1, v)
     #  f2: u=-x/z, v=-y/z, z>0    →  (-u, -v, 1)
     #  f3: u=z/x, v=y/x, x<0      →  (-1, -v, -u)
     #  f4: u=z/y, v=-x/y, y<0     →  (v, -1, -u)
     #  f5: u=-y/z, v=-x/z, z<0    →  (v, u, -1)
-    frames[3] = (-one, -v, -u)
-    frames[4] = (v, -one, -u)
-    frames[5] = (v, u, -one)
+    xyz = np.empty((3, u.shape[0]), dtype=np.float64)
+    frames = [
+        (one, u, v),
+        (-u, one, v),
+        (-u, -v, one),
+        (-one, -v, -u),
+        (v, -one, -u),
+        (v, u, -one),
+    ]
     for f in range(6):
         m = face == f
         if np.any(m):
@@ -391,9 +395,10 @@ def _cube_round(qf, rf):
     return q.astype(np.int64), r.astype(np.int64)
 
 
-def hex_axial(lon_deg, lat_deg, res: int = 9):
-    """lon/lat → axial (q, r) on the pointy-top hex lattice at ``res``."""
-    size = _hex_size(res)
+def hex_axial(lon_deg, lat_deg, res=9):
+    """lon/lat → axial (q, r) on the pointy-top hex lattice at ``res``
+    (scalar or per-element array)."""
+    size = HEX0_SIZE_DEG * (7.0 ** (-np.asarray(res, dtype=np.float64) / 2.0))
     x = np.asarray(lon_deg, dtype=np.float64)
     y = np.asarray(lat_deg, dtype=np.float64)
     qf = (_SQRT3 / 3.0 * x - 1.0 / 3.0 * y) / size
@@ -401,11 +406,12 @@ def hex_axial(lon_deg, lat_deg, res: int = 9):
     return _cube_round(qf, rf)
 
 
-def hex_pack(q: np.ndarray, r: np.ndarray, res: int) -> np.ndarray:
-    """(q, r, res) → int64: res(4b) | q+OFF(28b) | r+OFF(28b)."""
+def hex_pack(q: np.ndarray, r: np.ndarray, res) -> np.ndarray:
+    """(q, r, res) → int64: res(4b) | q+OFF(28b) | r+OFF(28b). ``res`` may
+    be a scalar or a per-element array (mixed-resolution ids)."""
     OFF = np.int64(1) << 27
     return (
-        (np.int64(res) << np.int64(56))
+        (np.asarray(res, dtype=np.int64) << np.int64(56))
         | ((q.astype(np.int64) + OFF) << np.int64(28))
         | (r.astype(np.int64) + OFF)
     )
@@ -420,9 +426,14 @@ def hex_unpack(cell_id):
     return res, q, r
 
 
-def hex_cell_id(lon_deg, lat_deg, res: int = 9) -> np.ndarray:
-    q, r = hex_axial(lon_deg, lat_deg, res)
-    return hex_pack(q, r, res)
+def hex_cell_id(lon_deg, lat_deg, res=9) -> np.ndarray:
+    """Non-finite coordinates map to the sentinel -1 (the res nibble 0xF…
+    sign bit set — never produced by hex_pack), mirroring s2_cell_id."""
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    finite = np.isfinite(lon) & np.isfinite(lat)
+    q, r = hex_axial(np.where(finite, lon, 0.0), np.where(finite, lat, 0.0), res)
+    return np.where(finite, hex_pack(q, r, res), np.int64(-1))
 
 
 def hex_center(cell_id):
@@ -439,20 +450,23 @@ def hex_parent(cell_id, parent_res: int | None = None) -> np.ndarray:
     covers ~7 children — the same approximate-containment semantics H3 has
     (hexagons cannot nest exactly; H3's children also only approximately
     tile their parent)."""
-    res, _, _ = hex_unpack(cell_id)
-    cur = int(res[0]) if res.size else 0
-    target = parent_res if parent_res is not None else cur - 1
-    cx, cy = hex_center(cell_id)
+    res, _, _ = hex_unpack(np.atleast_1d(np.asarray(cell_id, dtype=np.int64)))
+    target = np.full_like(res, parent_res) if parent_res is not None else res - 1
+    if np.any(target < 0):
+        raise ValueError("hex_parent below resolution 0")
+    cx, cy = hex_center(np.atleast_1d(np.asarray(cell_id, dtype=np.int64)))
     return hex_cell_id(cx, cy, target)
 
 
 def hex_k_ring(cell_id, k: int = 1) -> np.ndarray:
     """All cells within hex distance k: shape (n, 1+3k(k+1)) int64."""
-    res, q, r = hex_unpack(cell_id)
+    res, q, r = hex_unpack(np.atleast_1d(np.asarray(cell_id, dtype=np.int64)))
     deltas = [
         (dq, dr)
         for dq in range(-k, k + 1)
         for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1)
     ]
-    cols = [hex_pack(q + dq, r + dr, int(res[0]) if res.size else 9) for dq, dr in deltas]
+    # per-element res: a mixed-resolution input gets each cell's ring in
+    # its OWN lattice (ids self-encode res precisely to allow mixing)
+    cols = [hex_pack(q + dq, r + dr, res) for dq, dr in deltas]
     return np.stack(cols, axis=1)

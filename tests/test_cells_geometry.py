@@ -297,3 +297,37 @@ def test_st_simplify_keeps_closed_ring_valid(spark):
     row = spark.range(1).select(st_simplify(g, 10.0).alias("s")).first().s
     assert row.ring_offsets == [0, 5]  # untouched: 5 positions, closed
     assert len(row.coords) == 10
+
+
+def test_cell_ids_nan_sentinel_and_mixed_res():
+    """Non-finite coordinates must yield the -1 sentinel (not a concrete
+    cell a null row could spuriously join on); hex parent/ring honor each
+    id's OWN resolution; hex_parent below res 0 raises; decode helpers
+    accept scalars; s2_level round-trips the encoded level."""
+    import numpy as np
+
+    from geojson_spark.functions import cells as C
+
+    s2 = C.s2_cell_id(np.array([np.nan, 10.0]), np.array([0.0, 40.0]), 13)
+    hx = C.hex_cell_id(np.array([np.inf, 10.0]), np.array([np.nan, 40.0]), 9)
+    assert s2[0] == -1 and s2[1] > 0
+    assert hx[0] == -1 and hx[1] > 0
+
+    c9 = C.hex_cell_id(np.array([10.0]), np.array([40.0]), 9)
+    c6 = C.hex_cell_id(np.array([10.0]), np.array([40.0]), 6)
+    mix = np.concatenate([c9, c6])
+    assert C.hex_unpack(C.hex_parent(mix))[0].tolist() == [8, 5]
+    ring = C.hex_k_ring(mix, 1)
+    assert int(C.hex_unpack(ring[0])[0][0]) == 9
+    assert int(C.hex_unpack(ring[1])[0][0]) == 6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="below resolution 0"):
+        C.hex_parent(C.hex_cell_id(np.array([1.0]), np.array([1.0]), 0))
+
+    cid = C.s2_cell_id(np.array([10.0]), np.array([40.0]), 13)
+    assert C.s2_level(cid).tolist() == [13]
+    assert C.s2_level(C.s2_parent(cid, 7)).tolist() == [7]
+    lon, lat = C.s2_cell_center(np.int64(cid[0]), 13)  # scalar decode
+    assert abs(lon[0] - 10.0) < 0.05 and abs(lat[0] - 40.0) < 0.05
