@@ -85,34 +85,29 @@ def _is_num(v: Any) -> bool:
 
 
 def _coords_depth(c: Any) -> int:
-    """Nesting depth of a coordinates value.
-
-    0 = position (non-empty list of numbers), 1..3 = nested lists; ``[]`` is
-    depth 1 (OneDimensional empty, geometry.rs:449-452). Depth > 3 and
-    non-list leaves raise, with messages matching the reference's serde
-    errors.
+    """Nesting depth of a coordinates value, classified from the FIRST
+    element like the reference's untagged Coordinates deserializer
+    (geometry.rs:382-485): 0 = position (non-empty list of numbers),
+    ``[]`` is depth 1 (OneDimensional empty, :428-429), and an empty array
+    nested inside wrappers still counts its own level — ``[[]]`` is depth
+    2 (a list of one EMPTY ring), ``[[[]]]`` depth 3. Depth > 3 and
+    non-list leaves raise, with messages matching the serde errors.
     """
     if not isinstance(c, list):
         raise MalformedGeoJson(f"expected array, got {_json_type_name(c)}")
-    depth = 0
-    cur = c
-    while True:
-        if len(cur) == 0:
-            return max(depth, 1)
-        head = cur[0]
-        if _is_num(head):
-            if depth == 0:
-                # validate this really is a flat position
-                if not all(_is_num(v) for v in cur):
-                    raise MalformedGeoJson("invalid position: mixed element types")
-            return depth
-        if isinstance(head, list):
-            depth += 1
-            if depth > 3:
-                raise MalformedGeoJson("coordinate nesting too deep")
-            cur = head
-            continue
-        raise MalformedGeoJson(f"expected array, got {_json_type_name(head)}")
+    if len(c) == 0:
+        return 1
+    head = c[0]
+    if _is_num(head):
+        if not all(_is_num(v) for v in c):
+            raise MalformedGeoJson("invalid position: mixed element types")
+        return 0
+    if isinstance(head, list):
+        d = 1 + _coords_depth(head)
+        if d > 3:
+            raise MalformedGeoJson("coordinate nesting too deep")
+        return d
+    raise MalformedGeoJson(f"expected array, got {_json_type_name(head)}")
 
 
 def _json_type_name(v: Any) -> str:
@@ -158,7 +153,13 @@ def _flatten_rings(
             raise MalformedGeoJson(f"expected array, got {_json_type_name(ring)}")
         for pos in ring:
             p = _validate_position(pos)
-            if dim == 0:
+            if len(p) == 0:
+                # an empty position (legal in the reference's Position
+                # model outside Point) cannot share a dim with real ones;
+                # route to the raw fallback rather than emitting offsets
+                # that overcount coords
+                uniform = False
+            elif dim == 0:
                 dim = len(p)
             elif len(p) != dim:
                 uniform = False
@@ -207,10 +208,12 @@ def parse_geometry_obj(obj: Any) -> dict:
         raise MalformedGeoJson(f"unknown geometry type `{gtype}`")
 
     bbox = _parse_bbox(obj.get("bbox"))
-    fm = _foreign_members(obj)
+    fm = _foreign_members(obj, GEOMETRY_RESERVED)
 
     if gtype == "GeometryCollection":
-        if "geometries" not in obj:
+        # serde deserializes an explicit null into Option::None, so
+        # null and absent both hit the missing-key variant
+        if obj.get("geometries") is None:
             raise GeometryCollectionWithoutGeometriesKey()
         geoms = obj["geometries"]
         if not isinstance(geoms, list):
@@ -228,10 +231,15 @@ def parse_geometry_obj(obj: Any) -> dict:
             "foreign_members": fm,
         }
 
-    if "coordinates" not in obj:
+    if obj.get("coordinates") is None:  # absent OR explicit null (Option)
         raise GeometryWithoutCoordinatesKey(gtype)
     c = obj["coordinates"]
     depth = _coords_depth(c)
+    if obj.get("geometries") is not None:
+        # a primitive type carrying a geometries key falls through the
+        # reference's match to the invalid-combination arm
+        # (geometry.rs:594-612): coordinates present → dimension error
+        raise InvalidGeometryDimensions(gtype, depth)
     empty = isinstance(c, list) and len(c) == 0
 
     def build(coords, ring_offsets, part_offsets, dim, raw=None):
@@ -318,9 +326,17 @@ def _parse_bbox(b: Any) -> list[float] | None:
     return [float(v) for v in b]
 
 
-def _foreign_members(obj: dict) -> str | None:
-    """Capture non-reserved keys; empty map → None (util.rs:18-24)."""
-    fm = {k: v for k, v in obj.items() if k not in RESERVED_KEYS}
+GEOMETRY_RESERVED = frozenset({"type", "coordinates", "geometries", "bbox"})
+FEATURE_RESERVED = frozenset({"type", "geometry", "properties", "id", "bbox"})
+FC_RESERVED = frozenset({"type", "features", "bbox"})
+
+
+def _foreign_members(obj: dict, reserved: frozenset = RESERVED_KEYS) -> str | None:
+    """Capture non-reserved keys; empty map → None (util.rs:18-24). Each
+    envelope reserves only ITS OWN fields (RawGeometry flattens e.g. an
+    `id` key on a bare geometry into foreign members,
+    geometry.rs:496-503)."""
+    fm = {k: v for k, v in obj.items() if k not in reserved}
     if not fm:
         return None
     return dumps_json(fm)
@@ -364,7 +380,7 @@ def parse_feature_obj(obj: Any) -> dict:
         "bbox": _parse_bbox(obj.get("bbox")),
         "id_json": id_json,
         "properties": properties,
-        "foreign_members": _foreign_members(obj),
+        "foreign_members": _foreign_members(obj, FEATURE_RESERVED),
     }
 
 
@@ -377,13 +393,32 @@ def parse_feature_collection_obj(obj: Any) -> dict:
         # reference: missing_field("features"), src/geojson.rs:327-337
         raise MalformedGeoJson("missing field `features`")
     feats = obj["features"]
+    if feats is None:
+        raise MalformedGeoJson("invalid type: null, expected a sequence")
     if not isinstance(feats, list):
         raise MalformedGeoJson(f"expected array, got {_json_type_name(feats)}")
     return {
         "features": [parse_feature_obj(f) for f in feats],
         "bbox": _parse_bbox(obj.get("bbox")),
-        "foreign_members": _foreign_members(obj),
+        "foreign_members": _foreign_members(obj, FC_RESERVED),
     }
+
+
+def _reject_constant(name: str):
+    # serde_json rejects the non-standard NaN/Infinity literals Python's
+    # json would otherwise accept (and which would then crash serialize)
+    raise MalformedGeoJson(f"invalid number literal `{name}`")
+
+
+def loads_json(s: str) -> Any:
+    """json.loads with the reference's strictness: NaN/Infinity literals
+    raise MalformedGeoJson instead of parsing to floats."""
+    try:
+        return json.loads(s, parse_constant=_reject_constant)
+    except MalformedGeoJson:
+        raise
+    except (ValueError, TypeError) as e:  # json.JSONDecodeError subclasses ValueError
+        raise MalformedGeoJson(str(e)) from e
 
 
 def parse_geojson(s: str) -> tuple[str, dict]:
@@ -392,11 +427,7 @@ def parse_geojson(s: str) -> tuple[str, dict]:
     Reference: src/geojson.rs:215-221 (from_str) + 320-362 (dispatch).
     Returns ("Geometry"|"Feature"|"FeatureCollection", parsed-dict).
     """
-    try:
-        obj = json.loads(s)
-    except (ValueError, TypeError) as e:  # json.JSONDecodeError subclasses ValueError
-        raise MalformedGeoJson(str(e)) from e
-    return parse_geojson_value(obj)
+    return parse_geojson_value(loads_json(s))
 
 
 def parse_geojson_value(obj: Any) -> tuple[str, dict]:
@@ -429,7 +460,13 @@ def dumps_json(v: Any) -> str:
 def _fmt_f(v: float) -> str:
     if v != v or math.isinf(v):
         raise MalformedGeoJson("non-finite coordinate")
-    return repr(float(v))
+    s = repr(float(v))
+    if "e" in s:
+        # serde_json's ryu prints `1e16` / `1e-5`; Python repr prints
+        # `1e+16` / `1e-05` — normalize the exponent text
+        mant, exp = s.split("e")
+        s = f"{mant}e{int(exp)}"
+    return s
 
 
 def _positions_text(coords: list[float], dim: int, start: int, stop: int) -> str:

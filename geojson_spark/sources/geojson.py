@@ -33,6 +33,7 @@ from pyspark.sql.types import StringType
 from geojson_spark.errors import InvalidWriterState, MalformedGeoJson
 from geojson_spark.functions.geojson_codec import (
     dumps_json,
+    loads_json,
     parse_feature_obj,
     parse_geojson,
     serialize_feature,
@@ -178,7 +179,7 @@ def read_geojson(
                         batch: list[dict] = []
                         idx = 0
                         for feat_str in iter_feature_strings(fh):
-                            batch.append(parse_feature_obj(json.loads(feat_str)))
+                            batch.append(parse_feature_obj(loads_json(feat_str)))
                             if len(batch) >= batch_size:
                                 out = _feature_rows(batch, idx)
                                 out["source_file"] = fpath

@@ -170,3 +170,60 @@ def test_properties_always_emitted():
     # src/feature.rs:84-87
     kind, f = parse_geojson('{"type":"Feature","geometry":null}')
     assert serialize_geojson(kind, f) == '{"type":"Feature","geometry":null,"properties":null}'
+
+
+def test_empty_ring_and_null_key_reference_semantics():
+    """Corner-case parity with the reference's RawGeometry dispatch
+    (geometry.rs:382-621): nested empty arrays classify one level deeper,
+    explicit null == missing key, a primitive type with a geometries key
+    is an invalid combination, and NaN/Infinity literals are rejected at
+    parse."""
+    import pytest
+
+    from geojson_spark.errors import (
+        GeometryCollectionWithoutGeometriesKey,
+        GeometryWithoutCoordinatesKey,
+        InvalidGeometryDimensions,
+        MalformedGeoJson,
+    )
+    from geojson_spark.functions.geojson_codec import parse_geojson, serialize_geojson
+
+    def rt(doc):
+        k, o = parse_geojson(doc)
+        return serialize_geojson(k, o)
+
+    # empty rings are VALID for Polygon/MultiPolygon and round-trip
+    assert rt('{"type":"Polygon","coordinates":[[]]}') == '{"type":"Polygon","coordinates":[[]]}'
+    assert (
+        rt('{"type":"MultiPolygon","coordinates":[[[]]]}')
+        == '{"type":"MultiPolygon","coordinates":[[[]]]}'
+    )
+    # ...but a nested empty is dims=2 for MultiPoint (invalid)
+    with pytest.raises(InvalidGeometryDimensions, match="`MultiPoint`.*dimensions: 2"):
+        parse_geojson('{"type":"MultiPoint","coordinates":[[]]}')
+    # explicit null == missing key (serde Option semantics)
+    with pytest.raises(GeometryWithoutCoordinatesKey):
+        parse_geojson('{"type":"Point","coordinates":null}')
+    with pytest.raises(GeometryCollectionWithoutGeometriesKey):
+        parse_geojson('{"type":"GeometryCollection","geometries":null}')
+    # primitive type + geometries key = invalid combination
+    with pytest.raises(InvalidGeometryDimensions, match="`Point`.*dimensions: 0"):
+        parse_geojson('{"type":"Point","coordinates":[1,2],"geometries":[]}')
+    # serde rejects the non-standard literals Python json would accept
+    with pytest.raises(MalformedGeoJson, match="Infinity"):
+        parse_geojson('{"type":"Point","coordinates":[1,2],"x":Infinity}')
+    # ryu-style exponent text
+    assert rt('{"type":"Point","coordinates":[1e16,1e-5]}') == (
+        '{"type":"Point","coordinates":[1e16,1e-5]}'
+    )
+    # a bare geometry's id/properties keys are FOREIGN MEMBERS (RawGeometry
+    # reserves only type/coordinates/geometries/bbox) and round-trip
+    assert '"id":7' in rt(
+        '{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2],"id":7},'
+        '"properties":null}'
+    )
+    # an empty position among real ones routes to the raw fallback and
+    # round-trips instead of corrupting the offset arrays
+    assert rt('{"type":"LineString","coordinates":[[1,2],[]]}') == (
+        '{"type":"LineString","coordinates":[[1.0,2.0],[]]}'
+    )
