@@ -64,6 +64,7 @@ def iter_feature_strings(stream, chunk_size: int = 1 << 20) -> Iterator[str]:
     collecting = False
     pending = []
     pos = 0
+    entered_features = False
     while True:
         chunk = stream.read(chunk_size)
         if not chunk:
@@ -102,6 +103,7 @@ def iter_feature_strings(stream, chunk_size: int = 1 << 20) -> Iterator[str]:
                 depth += 1
                 if depth == 2 and not in_features and last_str == "features":
                     in_features = True
+                    entered_features = True
             elif ch in "}]":
                 depth -= 1
                 if in_features and depth == 2 and feat_start >= 0:
@@ -121,6 +123,13 @@ def iter_feature_strings(stream, chunk_size: int = 1 << 20) -> Iterator[str]:
             pos -= keep_from
             if feat_start >= 0:
                 feat_start = 0
+    # end of stream: a half-read feature or a never-closed features array
+    # means truncated input — raising beats silently returning partial
+    # data (the reference's FeatureIterator errors on EOF mid-feature too)
+    if feat_start >= 0 or in_str or in_features:
+        raise MalformedGeoJson("unexpected end of input inside FeatureCollection")
+    if not entered_features:
+        raise MalformedGeoJson("FeatureCollection has no `features` array")
 
 
 def _feature_rows(feats: list[dict], base_idx: int) -> pd.DataFrame:
@@ -192,12 +201,27 @@ def read_geojson(
                             yield out
                     else:
                         text = fh.read()
-                        docs = [text] if kind != "ndjson" else [
-                            ln for ln in text.splitlines() if ln.strip()
-                        ]
+                        if not text.strip():
+                            parsed = []  # empty file → zero features
+                        else:
+                            docs = [text] if kind != "ndjson" else [
+                                ln for ln in text.splitlines() if ln.strip()
+                            ]
+                            try:
+                                parsed = [parse_geojson(doc) for doc in docs]
+                            except MalformedGeoJson:
+                                # the sniffer can misroute ndjson whose
+                                # first line overflows the window or is
+                                # blank — retry feature-per-line before
+                                # failing the file
+                                lines = [
+                                    ln for ln in text.splitlines() if ln.strip()
+                                ]
+                                if kind == "ndjson" or len(lines) <= 1:
+                                    raise
+                                parsed = [parse_geojson(ln) for ln in lines]
                         feats = []
-                        for doc in docs:
-                            k, obj = parse_geojson(doc)
+                        for k, obj in parsed:
                             if k == "Feature":
                                 feats.append(obj)
                             elif k == "Geometry":
@@ -526,10 +550,13 @@ def table_to_features(df: DataFrame, *, geometry_col: str = "geometry",
         raise MalformedGeoJson("missing `geometry` field")
     rest = [c for c in df.columns if c not in (geometry_col, id_col)]
     if id_col:
-        # id string|number union → JSON literal text (src/feature.rs:244-249)
+        # id string|number union → JSON literal text (src/feature.rs:244-249).
+        # String ids go through to_json so backslashes/quotes/control chars
+        # escape correctly: to_json(array(x)) = '["…"]', strip the brackets.
         if df.schema[id_col].dataType.simpleString() == "string":
-            idj = F.concat(
-                F.lit('"'), F.regexp_replace(F.col(id_col), '"', '\\\\"'), F.lit('"')
+            idj = F.expr(
+                f"substring(to_json(array(`{id_col}`)), 2, "
+                f"length(to_json(array(`{id_col}`))) - 2)"
             )
         else:
             idj = F.col(id_col).cast("string")
@@ -540,7 +567,10 @@ def table_to_features(df: DataFrame, *, geometry_col: str = "geometry",
         F.col(geometry_col).alias("geometry"),
         F.lit(None).cast("array<double>").alias("bbox"),
         idj.alias("id_json"),
-        F.to_json(F.struct(*[F.col(c) for c in rest])).alias("properties"),
+        F.to_json(
+            F.struct(*[F.col(c) for c in rest]),
+            {"ignoreNullFields": "false"},  # reference serializes null props
+        ).alias("properties"),
         F.lit(None).cast("string").alias("foreign_members"),
     )
     return out
@@ -568,6 +598,8 @@ class GeoJsonFeatureWriter:
         self._state = self.NEW
 
     def write_foreign_member(self, key: str, value) -> None:
+        if self._state == self.FINISHED:
+            raise InvalidWriterState("cannot write foreign members after finish")
         if self._state == self.NEW:
             self._fh.write('{"type":"FeatureCollection"')
             self._state = self.FM
@@ -578,18 +610,7 @@ class GeoJsonFeatureWriter:
         self._fh.write("," + dumps_json(key) + ":" + dumps_json(value))
 
     def write_feature(self, feature: dict) -> None:
-        if self._state in (self.NEW, self.FM):
-            if self._state == self.NEW:
-                self._fh.write('{"type":"FeatureCollection"')
-            self._fh.write(',"features":[')
-            self._state = self.FEATURES
-            self._first = True
-        if self._state == self.FINISHED:
-            raise InvalidWriterState("cannot write features after finish")
-        if not self._first:
-            self._fh.write(",")
-        self._first = False
-        self._fh.write(serialize_feature(feature))
+        self.write_feature_json(serialize_feature(feature))
 
     def write_feature_json(self, feature_json: str) -> None:
         if self._state in (self.NEW, self.FM):
@@ -629,13 +650,18 @@ class GeoJsonFeatureWriter:
 
 
 def write_geojson(df: DataFrame, path: str, feature_col: str = "feature_json") -> None:
-    """DataFrame → a directory of FeatureCollection shard documents + manifest.
+    """DataFrame → a directory of FeatureCollection shard documents.
 
     Executors stream their partitions through GeoJsonFeatureWriter (no
     buffering of the whole collection — FeatureWriter semantics at cluster
-    scale); each partition is a complete, spec-valid FeatureCollection file.
+    scale); each partition is a complete, spec-valid FeatureCollection
+    file. Pre-existing shards are removed first so a rerun with fewer
+    partitions cannot leave stale data behind.
     """
     os.makedirs(path, exist_ok=True)
+    for old in os.listdir(path):
+        if old.startswith("part-") and old.endswith(".geojson"):
+            os.remove(os.path.join(path, old))
 
     if feature_col not in df.columns:
         df = df.withColumn("feature_json", to_feature_json(F.struct(*FEATURE_SCHEMA.names)))
@@ -713,7 +739,7 @@ def explode_geometry_collections(df, geometry_col: str = "geometry", *, recursiv
     )
     gc = (
         df.where(is_gc)
-        .withColumn("_child", F.explode(_children(g["geoms_json"])))
+        .withColumn("_child", F.explode_outer(_children(g["geoms_json"])))  # outer: an EMPTY collection keeps its row (null children)
         .withColumn("child_idx", F.col("_child.child_idx"))
         .withColumn(
             geometry_col,

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
@@ -185,3 +186,90 @@ def test_geojson_streaming_sink_roundtrip(spark, tmp_path):
     assert len(rows) == 30
     ids = {json.loads(r.id_json) for r in rows if r.id_json is not None}
     assert ids == set(range(30))
+
+
+def test_read_geojson_misrouted_and_empty_files(spark, tmp_path):
+    """ndjson whose first line overflows the sniff window (or starts with
+    a blank line) must still read; an empty file contributes 0 features
+    instead of failing the scan."""
+    d = tmp_path / "odd"
+    d.mkdir()
+    big_line = json.dumps(
+        {"type": "Feature",
+         "geometry": {"type": "LineString",
+                      "coordinates": [[float(i) / 100, 1.0] for i in range(700)]},
+         "properties": None}
+    )
+    assert len(big_line) > 4096
+    (d / "long.ndjson").write_text(big_line + "\n" + json.dumps(_feature(1)) + "\n")
+    (d / "blank_lead.ndjson").write_text("\n" + json.dumps(_feature(2)) + "\n")
+    (d / "empty.geojson").write_text("")
+    from geojson_spark.sources.geojson import read_geojson
+
+    rows = read_geojson(spark, str(d)).collect()
+    assert len(rows) == 3
+
+
+def test_truncated_featurecollection_raises(spark, tmp_path):
+    from geojson_spark.sources.geojson import read_geojson
+
+    doc = json.dumps({"type": "FeatureCollection", "features": [_feature(0), _feature(1)]})
+    p = tmp_path / "trunc.geojson"
+    p.write_text(doc[: len(doc) - 25])  # cut inside the last feature
+    with pytest.raises(Exception, match="unexpected end of input"):
+        read_geojson(spark, str(p)).collect()
+
+
+def test_table_to_features_escapes_ids_and_keeps_null_props(spark):
+    from geojson_spark.functions.constructors import st_point
+    from geojson_spark.sources.geojson import table_to_features, to_feature_json
+
+    df = spark.createDataFrame(
+        [("a\\b\"c", None, 5)], "the_id string, name string, pop int"
+    ).select(st_point(F.lit(1.0), F.lit(2.0)).alias("geometry"), "the_id", "name", "pop")
+    feat = table_to_features(df, id_col="the_id")
+    row = feat.first()
+    assert json.loads(row.id_json) == 'a\\b"c'  # backslash + quote round-trip
+    props = json.loads(row.properties)
+    assert props == {"name": None, "pop": 5}  # null keys preserved
+    j = feat.select(to_feature_json(F.struct(
+        "feature_idx", "geometry", "bbox", "id_json", "properties", "foreign_members"
+    )).alias("j")).first().j
+    assert json.loads(j)["id"] == 'a\\b"c'
+
+
+def test_empty_geometry_collection_row_preserved(spark):
+    from geojson_spark.sources.geojson import explode_geometry_collections, read_geojson
+
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "gc.geojson"), "w") as fh:
+        fh.write(json.dumps({"type": "FeatureCollection", "features": [
+            {"type": "Feature", "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+             "properties": None},
+            {"type": "Feature",
+             "geometry": {"type": "GeometryCollection", "geometries": []},
+             "properties": None},
+        ]}))
+    df = read_geojson(spark, str(d))
+    out = explode_geometry_collections(df)
+    assert out.count() == 2  # the empty-GC feature survives (null child)
+
+
+def test_write_geojson_removes_stale_shards(spark, tmp_path):
+    import pytest as _p
+
+    from geojson_spark.sources.geojson import read_geojson, write_geojson
+
+    out = tmp_path / "wout"
+    nd = tmp_path / "ndsrc"
+    nd.mkdir()
+    _write_ndjson(nd / "a.ndjson", 0, 20)
+    feats = read_geojson(spark, str(nd)).repartition(4)
+    write_geojson(feats.drop("source_file"), str(out))
+    n_first = len(list(out.glob("part-*.geojson")))
+    assert n_first >= 2
+    # rewrite with a single partition: stale shards must disappear
+    write_geojson(feats.drop("source_file").coalesce(1), str(out))
+    assert len(list(out.glob("part-*.geojson"))) == 1
+    assert read_geojson(spark, str(out / "*.geojson")).count() == 20
