@@ -134,19 +134,27 @@ def psnr_db(orig: np.ndarray, decoded: np.ndarray) -> float:
 
 
 def average_phash(px: np.ndarray, w: int, h: int) -> int:
-    """64-bit average hash: 8×8 grid of mean luminance vs global mean."""
+    """64-bit average hash: 8×8 grid of block mean luminance, each bit =
+    block mean > the MEAN OF BLOCK MEANS (not the global pixel mean —
+    they differ when w or h is not a multiple of 8, because blocks carry
+    unequal pixel counts but equal weight). Vectorized via an integral
+    image: no per-block Python loop (this runs once per row on the
+    generate AND verify paths, so it dominated CPU before)."""
     img = px.reshape(h, w, 3).astype(np.float64).mean(axis=2)
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
-    blocks = np.empty((8, 8))
-    for by in range(8):
-        for bx in range(8):
-            blocks[by, bx] = img[ys[by] : max(ys[by] + 1, ys[by + 1]),
-                                 xs[bx] : max(xs[bx] + 1, xs[bx + 1])].mean()
+    # w,h ≥ 8 for all engine-generated images → boundaries strictly increase
+    S = np.zeros((h + 1, w + 1), dtype=np.float64)
+    S[1:, 1:] = img.cumsum(axis=0).cumsum(axis=1)
+    y0, y1 = ys[:-1], np.maximum(ys[:-1] + 1, ys[1:])
+    x0, x1 = xs[:-1], np.maximum(xs[:-1] + 1, xs[1:])
+    sums = (
+        S[np.ix_(y1, x1)] - S[np.ix_(y0, x1)] - S[np.ix_(y1, x0)] + S[np.ix_(y0, x0)]
+    )
+    counts = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    blocks = sums / counts
     bits = (blocks > blocks.mean()).ravel()
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
@@ -223,32 +231,43 @@ def verify_invariants(images_df):
     regenerated pixels (exact for raw/rle, ≥40 dB for q8), caption
     byte-equality, phash recompute. Returns DataFrame(image_id, psnr_ok,
     caption_ok, phash_ok) via mapInPandas — run it after any shuffle and
-    assert zero failures."""
-    from collections.abc import Iterator as _It
+    assert zero failures. Size-corrupting damage (truncated bytes, wrong
+    w/h) is COUNTED as a failed row, not raised — an invariant checker
+    that crashes on the damage it exists to detect reports nothing."""
 
-    def check(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+    def check(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids = pdf["image_id"]
+            caps, pixels = regen_caption_and_pixels(pdf["image_id"])
             out = {"image_id": [], "psnr_ok": [], "caption_ok": [], "phash_ok": []}
             for k in range(len(pdf)):
-                i = int(ids.iloc[k][3:])
-                h = int(_splitmix64(np.array([i], dtype=np.uint64))[0])
-                w = 8 + (h % 25)
-                hh = 8 + ((h >> 8) % 25)
-                orig = _pixels_for(i, w, hh)
                 row = pdf.iloc[k]
-                decoded = decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
-                p = psnr_db(orig, decoded)
+                orig = pixels[k]
+                try:
+                    decoded = decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
+                    p = psnr_db(orig, decoded)
+                    psnr_ok = (
+                        bool(p == float("inf"))
+                        if row["fmt"] in ("raw", "rle")
+                        else bool(p >= 40.0)
+                    )
+                    phash_ok = int(row["phash"]) == average_phash(
+                        decoded, row["w"], row["h"]
+                    )
+                except Exception:
+                    psnr_ok = False
+                    phash_ok = False
                 out["image_id"].append(row["image_id"])
-                out["psnr_ok"].append(
-                    bool(p == float("inf")) if row["fmt"] in ("raw", "rle") else bool(p >= 40.0)
-                )
-                out["caption_ok"].append(row["caption"] == caption_for(i, h))
-                out["phash_ok"].append(
-                    int(row["phash"]) == average_phash(decoded, row["w"], row["h"])
-                )
+                out["psnr_ok"].append(psnr_ok)
+                out["caption_ok"].append(row["caption"] == caps[k])
+                out["phash_ok"].append(phash_ok)
             yield pd.DataFrame(out)
 
+    # pandas-UDF stages run one task per input partition; a small parquet
+    # arrives as 1 partition and would serialize the (expensive) decode
+    # loop on one core (CLAUDE.md small-parquet rule)
+    target = images_df.sparkSession.sparkContext.defaultParallelism
+    if images_df.rdd.getNumPartitions() < target:
+        images_df = images_df.repartition(target)
     return images_df.mapInPandas(
         check, schema="image_id string, psnr_ok boolean, caption_ok boolean, phash_ok boolean"
     )

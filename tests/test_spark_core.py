@@ -298,3 +298,20 @@ def test_bbox_join_matches_bruteforce(spark):
         want = {(int(i), int(j)) for i, j in zip(*np.nonzero(inter))}
         assert got == want, f"cpd={cpd}: {len(got)} vs {len(want)}"
         assert len(got) > 100  # non-trivial overlap set
+
+
+def test_verify_invariants_counts_corruption_instead_of_crashing(spark):
+    """Size-corrupting damage (truncated bytes) must surface as a failed
+    row, not an exception — a checker that crashes on the damage it
+    exists to detect reports nothing."""
+    from geojson_spark.sources.images import generate_images, verify_invariants
+
+    imgs = generate_images(spark, 30).toPandas()
+    imgs.loc[0, "bytes"] = imgs.loc[0, "bytes"][: max(1, len(imgs.loc[0, "bytes"]) // 2)]
+    imgs.loc[1, "caption"] = "tampered"
+    df = spark.createDataFrame(imgs)
+    out = verify_invariants(df).toPandas().set_index("image_id")
+    bad_psnr = out[~out.psnr_ok]
+    assert len(bad_psnr) == 1
+    assert (~out.caption_ok).sum() == 1
+    assert out.psnr_ok.sum() == 29
