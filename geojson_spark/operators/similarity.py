@@ -43,8 +43,16 @@ def cosine_topk_bruteforce(
     v_id: str = "vec_id",
     v_vec: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k: (q_id, vec_id, cosine, rank). Queries broadcast."""
-    cand = F.broadcast(queries.select(q_id, q_vec)).crossJoin(vectors.select(v_id, v_vec))
+    """Exact cosine top-k: (q_id, vec_id, cosine, rank). Queries broadcast.
+    Null embeddings are dropped (they cannot score); the vectors side is
+    spread to default parallelism so the Arrow cosine stage never
+    serializes on a single small-parquet partition."""
+    from geojson_spark.operators.dedup import _spread
+
+    vecs = _spread(vectors.select(v_id, v_vec).where(F.col(v_vec).isNotNull()))
+    cand = F.broadcast(
+        queries.select(q_id, q_vec).where(F.col(q_vec).isNotNull())
+    ).crossJoin(vecs)
     scored = cand.withColumn("cosine", _cos_udf()(F.col(q_vec), F.col(v_vec)))
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(v_id).asc())
     return (
@@ -60,16 +68,21 @@ def train_centroids(
 ) -> np.ndarray:
     """k-means on a driver-side sample (Lloyd's, NumPy). Returns (C, dim).
 
-    The sample is a uniform ``.sample()`` over the whole table, not
-    ``.limit()`` — limit takes the first partitions, which on
+    The sample is a uniform ``.sample()`` over the whole table with NO
+    ``limit()`` anywhere — a limit takes the first partitions, which on
     time/key-ordered parquet trains centroids on a biased slice of the
-    distribution."""
+    distribution (the expected sample size is ~1.1·``sample``; bounded,
+    so the driver-side k-means stays cheap). ``n_centroids`` clamps to
+    the sample size; an empty table raises."""
     n = vectors.count()
-    frac = min(1.0, 1.5 * sample / max(n, 1))
-    src = vectors.select(v_vec)
+    src = vectors.select(v_vec).where(F.col(v_vec).isNotNull())
+    frac = min(1.0, 1.1 * sample / max(n, 1))
     if frac < 1.0:
         src = src.sample(False, frac, seed=seed)
-    pdf = src.limit(sample).toPandas()
+    pdf = src.toPandas()
+    if len(pdf) == 0:
+        raise ValueError("train_centroids: vectors table has no non-null embeddings")
+    n_centroids = min(n_centroids, len(pdf))
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[v_vec]])
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -86,11 +99,13 @@ def train_centroids(
 
 
 def _assign_udf(centroids: np.ndarray, top: int = 1):
-    C = [[float(x) for x in row] for row in centroids]
+    # capture the float64 matrix directly (ndarrays pickle fine); rebuilding
+    # it from nested lists per Arrow batch wasted work on the hot path
+    Cm_const = np.asarray(centroids, dtype=np.float64)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _assign(vecs: pd.Series) -> pd.Series:
-        Cm = np.asarray(C)
+        Cm = Cm_const
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         sims = X @ Cm.T
@@ -112,7 +127,12 @@ def ivf_topk(
     v_id: str = "vec_id",
     v_vec: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN top-k: probe ``n_probe`` inverted lists per query."""
+    """IVF ANN top-k: probe ``n_probe`` inverted lists per query. Null
+    embeddings are dropped; the vectors side is spread so assignment and
+    scoring parallelize on small inputs."""
+    from geojson_spark.operators.dedup import _spread
+
+    vectors = _spread(vectors.where(F.col(v_vec).isNotNull()))
     v_assigned = vectors.withColumn(
         "_cl", F.element_at(_assign_udf(centroids, 1)(F.col(v_vec)), 1)
     )
@@ -146,10 +166,11 @@ def cosine_pairs_blocked(
     through a join — ~100× less data movement and flops amortized.
     Per-block memory is O(n_block²); at cluster scale blocks are
     shards/sources, bounded by construction. Returns (id_a, id_b, block),
-    id_a < id_b.
+    id_a < id_b. Numeric block keys keep their value; string keys hash to
+    a deterministic long (xxhash64); rows with a null block key or null
+    vector are dropped (they cannot be blocked/scored).
     """
-    import pandas as pd
-    from pyspark.sql.types import LongType, StructType
+    from pyspark.sql.types import LongType, NumericType, StructType
 
     out_schema = (
         StructType().add("id_a", LongType()).add("id_b", LongType()).add("block", LongType())
@@ -164,13 +185,17 @@ def cosine_pairs_blocked(
         norms[norms == 0] = 1.0
         sims = (V / norms[:, None]) @ (V / norms[:, None]).T
         iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= threshold
+        # duplicate ids inside a block must not emit id_a == id_b rows
+        keep = (sims[iu, ju] >= threshold) & (ids[iu] != ids[ju])
         blk = np.int64(pdf[block_col].iloc[0])
         return pd.DataFrame(
             {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "block": blk}
         )
 
-    keyed = vectors.select(
-        F.col(block_col).cast("long").alias(block_col), id_col, vec_col
-    )
+    src = vectors.where(F.col(block_col).isNotNull() & F.col(vec_col).isNotNull())
+    if isinstance(vectors.schema[block_col].dataType, NumericType):
+        block_key = F.col(block_col).cast("long")
+    else:
+        block_key = F.xxhash64(F.col(block_col))
+    keyed = src.select(block_key.alias(block_col), id_col, vec_col)
     return keyed.groupBy(block_col).applyInPandas(block_pairs, out_schema)
