@@ -51,12 +51,12 @@ HEADLINE = [
     "pip_holes",
     "corpus_filter",
     "dedup_keepers",
-    "median_price",
+    "priority_stats",
     "polygon_roundtrip",
     "fidelity_roundtrip",
     "simhash_near_dups",
     "doc_fingerprint",
-    "bpe_token_stats",
+    "token_stats",
     "hash_split",
     "contamination",
     "pack_sequences",
