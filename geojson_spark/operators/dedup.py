@@ -530,8 +530,14 @@ def embedding_dedup(
         den = np.sqrt((A * A).sum(axis=1) * (B * B).sum(axis=1))
         return pd.Series(np.where(den > 0, num / den, 0.0))
 
+    # Only (id, bucket) rows enter the multi-probe self-join: each id is
+    # duplicated (n_planes+1)× by the probe explode, so carrying the vector
+    # payload through it would multiply shuffle volume by the full probe
+    # fan-out (the minhash band join avoids the same hazard — ids, not
+    # payloads, cross the shuffle). Vectors re-attach to the deduplicated
+    # candidate pairs afterwards via two id equi-joins.
     keyed = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.col(id_col).alias("id"),
         F.explode(_buckets(F.col(vec_col))).alias("bucket"),
     )
     a = keyed.alias("a")
@@ -542,14 +548,15 @@ def embedding_dedup(
     cand = (
         a.join(b, "bucket")
         .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    paired = cand.join(
+        vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a"
+    ).join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
     return (
-        cand.withColumn("cosine", _cos(F.col("va"), F.col("vb")))
+        paired.withColumn("cosine", _cos(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
