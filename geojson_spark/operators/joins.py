@@ -41,6 +41,11 @@ KM_PER_DEG_LAT = 111.19492664455873  # 2πR/360 at R=6371.0088
 # adaptive-broadcast budget for pip_join, in *exploded* (poly, cell) rows —
 # the thing actually shipped to every executor
 PIP_BROADCAST_MAX_ROWS = 4_000_000
+# ... and in estimated exploded bytes: every exploded row ships the
+# polygon's full coords array, so 4M rows of multi-KB coastlines would
+# blow Spark's ~8 GB broadcast ceiling long before the row gate fires.
+# 1 GiB leaves headroom for the hash relation's ~2x build overhead.
+PIP_BROADCAST_MAX_BYTES = 1 << 30
 
 
 # ---------------------------------------------------------------------------
@@ -265,10 +270,21 @@ def pip_join(
         else:
             frac = min(1.0, 2048.0 / n_polys)
             sampled = polygons if frac >= 1.0 else polygons.sample(False, frac, seed=7)
-            mean_cover = (
-                sampled.select(F.avg(F.size(cover_expr)).alias("m")).first()["m"] or 1.0
+            stats = sampled.select(
+                F.avg(F.size(cover_expr)).alias("m"),
+                F.avg(F.size(F.col("coords"))).alias("c"),
+            ).first()
+            mean_cover = stats["m"] or 1.0
+            mean_coords = stats["c"] or 0.0
+            est_rows = n_polys * mean_cover
+            # per exploded row: coords doubles (8 B each) + offsets/key/id
+            # overhead (~64 B) — bounds estimated broadcast BYTES, not just
+            # rows, so a fat-coords side at modest row count still shuffles
+            est_bytes = est_rows * (mean_coords * 8.0 + 64.0)
+            broadcast_polygons = (
+                est_rows <= broadcast_max_rows
+                and est_bytes <= PIP_BROADCAST_MAX_BYTES
             )
-            broadcast_polygons = n_polys * mean_cover <= broadcast_max_rows
 
     right = F.broadcast(exploded) if broadcast_polygons else exploded
     joined = pts.join(right, "cell_id")

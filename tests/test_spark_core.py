@@ -147,6 +147,53 @@ def test_pip_broadcast_bounded_by_exploded_cover(spark, polygons, monkeypatch):
     assert "BroadcastExchange" in plan
 
 
+def test_pip_broadcast_bounded_by_bytes(spark, monkeypatch):
+    # The gate must also bound estimated broadcast BYTES: a fat-coords
+    # polygon side at modest row count (well under the row budget) ships
+    # its full coords array on every exploded cover row, so it must fall
+    # back to a shuffled equi-join when the byte budget is exceeded.
+    from geojson_spark.operators import joins as joins_mod
+
+    n_verts = 200  # ~3.2 KB of coords per polygon
+    theta = np.linspace(0.0, 2 * np.pi, n_verts, endpoint=False)
+    ring = np.empty(2 * (n_verts + 1))
+    ring[0:-2:2] = 0.5 + 0.4 * np.cos(theta)
+    ring[1:-2:2] = 0.5 + 0.4 * np.sin(theta)
+    ring[-2:] = ring[:2]
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "poly_id": f"fat{i}",
+                    "coords": (ring + i).tolist(),
+                    "ring_offsets": [0, n_verts + 1],
+                    "dim": 2,
+                    "bbox": [0.1 + i, 0.1 + i, 0.9 + i, 0.9 + i],
+                }
+                for i in range(4)
+            ]
+        )
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pt_id": [1], "lon": [0.5], "lat": [0.5]})
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    monkeypatch.setattr(joins_mod, "PIP_BROADCAST_MAX_BYTES", 4 * 1600)
+    try:
+        plan = pip_join(pts, polys)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # same side under the real byte budget broadcasts, and the join is
+    # correct either way
+    monkeypatch.setattr(joins_mod, "PIP_BROADCAST_MAX_BYTES", 1 << 30)
+    joined = pip_join(pts, polys)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert [r.poly_id for r in joined.collect()] == ["fat0"]
+
+
 @pytest.mark.parametrize("metric", ["haversine", "euclidean_deg2"])
 def test_knn_exact_vs_bruteforce(spark, images, metric):
     queries = spark.createDataFrame(
