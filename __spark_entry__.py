@@ -20,7 +20,7 @@ import sys
 from collections.abc import Callable
 
 import pandas as pd  # noqa: F401 — needed to resolve pandas UDF type hints
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -733,10 +733,36 @@ def q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantize_embedding(col: Column) -> Column:
+    """Shared-derivation cosine quantization (oracle rule): float32→float64
+    is exact, ×65536 (a power of two) is exact, banker's round (Spark
+    bround ≡ DuckDB round_even ≡ np.round) gives integer-valued doubles.
+    With 64 dims and |x| ≤ ~1 every dot/norm sum stays far below 2^53, so
+    the sums are EXACT regardless of accumulation order and the final
+    cosine = dot/sqrt(na·nb) is one multiply + sqrt + divide — bit-identical
+    between NumPy and DuckDB with no float luck."""
+    return F.transform(col.cast("array<double>"), lambda x: F.bround(x * 65536.0))
+
+
+_QUANT_SQL = "list_transform(embedding, x -> round_even(CAST(x AS DOUBLE) * 65536.0, 0))"
+# cosine over quantized lists, mirroring _cos_udf: num/sqrt(na*nb), 0 when den=0
+_COS_SQL = (
+    "CASE WHEN sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})) > 0 "
+    "THEN list_dot_product({a}, {b}) "
+    "/ sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})) "
+    "ELSE 0.0 END"
+)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k over QUANTIZED embeddings: the ×65536 banker's
+    quantization (see _quantize_embedding) makes every dot/norm sum exact,
+    so ranks no longer depend on NumPy-vs-DuckDB float derivation luck."""
     from geojson_spark.operators.similarity import cosine_topk_bruteforce
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _quantize_embedding(F.col("embedding")).alias("embedding")
+    )
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -1181,10 +1207,15 @@ def q_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within label blocks (deterministic
-    blocking; the LSH variant is exercised in pytest)."""
+    blocking; the LSH variant is exercised in pytest). Runs over QUANTIZED
+    embeddings (see _quantize_embedding) so the ≥-threshold comparison is
+    bit-identical between the block kernel's Gram-matrix cosine and the
+    DuckDB oracle — no float derivation luck at the boundary."""
     from geojson_spark.operators.similarity import cosine_pairs_blocked
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", _quantize_embedding(F.col("embedding")).alias("embedding")
+    )
     out = cosine_pairs_blocked(emb, threshold=0.40)
     return out.select("id_a", "id_b", F.col("block").cast("bigint").alias("block"))
 
@@ -1741,17 +1772,19 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events
             FROM e GROUP BY 1, 2, 3
         """,
-        "ann_topk": """
-            WITH q AS (
-              SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8
+        "ann_topk": f"""
+            WITH eq AS (
+              SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings
+            ), q AS (
+              SELECT vec_id AS q_id, qv AS q_vec FROM eq WHERE vec_id < 8
             ), scored AS (
               SELECT q.q_id, e.vec_id,
                      row_number() OVER (
                        PARTITION BY q.q_id
-                       ORDER BY list_cosine_similarity(q.q_vec, e.embedding) DESC,
+                       ORDER BY {_COS_SQL.format(a="q.q_vec", b="e.qv")} DESC,
                                 e.vec_id ASC
                      ) AS rank
-              FROM q CROSS JOIN embeddings e
+              FROM q CROSS JOIN eq e
             )
             SELECT q_id, vec_id, rank FROM scored WHERE rank <= 10
         """,
@@ -2153,11 +2186,15 @@ def oracle_sql() -> dict[str, str]:
               FROM t a JOIN t b ON a.doc_id < b.doc_id
             ) WHERE n_inter * 1000 >= 500 * n_union
         """,
-        "embedding_near_dups": """
+        "embedding_near_dups": f"""
+            WITH eq AS (
+              SELECT vec_id, label, {_QUANT_SQL} AS qv FROM embeddings
+              WHERE label IS NOT NULL AND embedding IS NOT NULL
+            )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label::BIGINT AS block
-            FROM embeddings a JOIN embeddings b
+            FROM eq a JOIN eq b
               ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40
+            WHERE {_COS_SQL.format(a="a.qv", b="b.qv")} >= 0.40
         """,
         "asof_join": """
             SELECT event_id, user_id, coalesce(o_orderkey, -1) AS o_orderkey FROM (

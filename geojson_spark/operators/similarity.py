@@ -181,9 +181,17 @@ def cosine_pairs_blocked(
         order = np.argsort(ids)
         ids = ids[order]
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].iloc[order]])
-        norms = np.sqrt((V * V).sum(axis=1))
-        norms[norms == 0] = 1.0
-        sims = (V / norms[:, None]) @ (V / norms[:, None]).T
+        # Gram-matrix form, NOT normalize-then-multiply: cos = G/sqrt(na·nb)
+        # keeps every sum a sum of raw-component products, so when callers
+        # feed integer-valued (quantized) vectors the dots/norms are EXACT
+        # and the final cosine is one multiply + sqrt + divide — an
+        # operation sequence a SQL oracle replays bit-identically
+        # (normalized rows would make each term inexact and the BLAS
+        # accumulation order observable).
+        G = V @ V.T
+        n2 = (V * V).sum(axis=1)
+        den = np.sqrt(np.outer(n2, n2))
+        sims = np.divide(G, den, out=np.zeros_like(G), where=den > 0)
         iu, ju = np.triu_indices(len(ids), k=1)
         # duplicate ids inside a block must not emit id_a == id_b rows
         keep = (sims[iu, ju] >= threshold) & (ids[iu] != ids[ju])
