@@ -12,11 +12,19 @@ class GeoJsonError(Exception):
 
 
 class MalformedGeoJson(GeoJsonError):
-    """errors.rs:34 — "Error while deserializing GeoJSON: {0}"."""
+    """errors.rs:34 — "Error while deserializing GeoJSON: {0}".
 
-    def __init__(self, detail: str):
+    ``lineno``/``colno`` carry the 1-based source position when the failure
+    came from the JSON tokenizer (the reference's v1.0.0 errors carry
+    position via serde_json::Error — CHANGES.md:34-38); None for semantic
+    errors raised after parsing, which have no single source position.
+    """
+
+    def __init__(self, detail: str, *, lineno: int | None = None, colno: int | None = None):
         super().__init__(f"Error while deserializing GeoJSON: {detail}")
         self.detail = detail
+        self.lineno = lineno
+        self.colno = colno
 
 
 class InvalidGeometryDimensions(GeoJsonError):

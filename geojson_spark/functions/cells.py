@@ -450,17 +450,23 @@ def hex_parent(cell_id, parent_res: int | None = None) -> np.ndarray:
     covers ~7 children — the same approximate-containment semantics H3 has
     (hexagons cannot nest exactly; H3's children also only approximately
     tile their parent)."""
-    res, _, _ = hex_unpack(np.atleast_1d(np.asarray(cell_id, dtype=np.int64)))
+    cid = np.atleast_1d(np.asarray(cell_id, dtype=np.int64))
+    sentinel = cid < 0  # hex_unpack(-1) decodes a plausible-looking cell;
+    # propagate the null sentinel instead (it must never equi-join to real
+    # parents), mirroring hex_cell_id
+    res, _, _ = hex_unpack(cid)
     target = np.full_like(res, parent_res) if parent_res is not None else res - 1
-    if np.any(target < 0):
+    if np.any(target[~sentinel] < 0):
         raise ValueError("hex_parent below resolution 0")
-    cx, cy = hex_center(np.atleast_1d(np.asarray(cell_id, dtype=np.int64)))
-    return hex_cell_id(cx, cy, target)
+    cx, cy = hex_center(cid)
+    return np.where(sentinel, np.int64(-1), hex_cell_id(cx, cy, np.where(target < 0, 0, target)))
 
 
 def hex_k_ring(cell_id, k: int = 1) -> np.ndarray:
     """All cells within hex distance k: shape (n, 1+3k(k+1)) int64."""
-    res, q, r = hex_unpack(np.atleast_1d(np.asarray(cell_id, dtype=np.int64)))
+    cid = np.atleast_1d(np.asarray(cell_id, dtype=np.int64))
+    sentinel = cid < 0  # see hex_parent: sentinels propagate, never decode
+    res, q, r = hex_unpack(cid)
     deltas = [
         (dq, dr)
         for dq in range(-k, k + 1)
@@ -469,4 +475,4 @@ def hex_k_ring(cell_id, k: int = 1) -> np.ndarray:
     # per-element res: a mixed-resolution input gets each cell's ring in
     # its OWN lattice (ids self-encode res precisely to allow mixing)
     cols = [hex_pack(q + dq, r + dr, res) for dq, dr in deltas]
-    return np.stack(cols, axis=1)
+    return np.where(sentinel[:, None], np.int64(-1), np.stack(cols, axis=1))

@@ -417,7 +417,11 @@ def loads_json(s: str) -> Any:
         return json.loads(s, parse_constant=_reject_constant)
     except MalformedGeoJson:
         raise
-    except (ValueError, TypeError) as e:  # json.JSONDecodeError subclasses ValueError
+    except json.JSONDecodeError as e:
+        # json's message already embeds "line L column C"; expose the
+        # position structurally too (reference parity: CHANGES.md:34-38)
+        raise MalformedGeoJson(str(e), lineno=e.lineno, colno=e.colno) from e
+    except (ValueError, TypeError) as e:
         raise MalformedGeoJson(str(e)) from e
 
 

@@ -130,6 +130,34 @@ def repartition_by_cell_prefix(
     return df.repartition(num_partitions, prefix)
 
 
+_WIDE_PLAN_TOKENS = (
+    "Aggregate", "Join", "Sort", "Window", "Repartition", "Distinct",
+    "Deduplicate", "GlobalLimit", "FlatMapGroupsInPandas",
+)
+
+
+def ensure_min_partitions(df) -> "DataFrame":  # noqa: F821 — forward ref
+    """Guarantee ≥ defaultParallelism partitions for a downstream
+    Python-UDF stage (one task per partition; a small-parquet scan arrives
+    as 1 partition and would serialize the whole stage on one core).
+
+    Asking ``df.rdd.getNumPartitions()`` is only safe when the plan is
+    narrow: under AQE a plan with exchanges materializes its upstream
+    query stages just to answer the question — doubling the work when the
+    input is an expensive pipeline. So: inspect the optimized plan; narrow
+    plans (pure scan + projections/filters) get the cheap exact check,
+    anything with a wide operator is repartitioned unconditionally (the
+    shuffle is bounded-cost next to the Python stage it feeds).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(tok in plan for tok in _WIDE_PLAN_TOKENS):
+        return df.repartition(target)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # BPE-ish tokenizer pattern (GPT-2-style word/number/punct/space classes,
 # restricted to constructs with identical semantics in Java regex (Spark),
 # RE2 (DuckDB), and Python re: no lookahead, explicit whitespace class).

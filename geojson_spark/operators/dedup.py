@@ -120,11 +120,11 @@ def _spread(df: DataFrame) -> DataFrame:
     fewer partitions (small files): the Python-UDF stages downstream run
     one task per partition, so a 1-partition scan would serialize the whole
     signature computation on one core. On a real cluster inputs already
-    arrive well-partitioned and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    arrive well-partitioned and this is a no-op. Plan-aware (no AQE
+    stage-materialization hazard): see ``ensure_min_partitions``."""
+    from geojson_spark.functions.spark_funcs import ensure_min_partitions
+
+    return ensure_min_partitions(df)
 
 
 def _minhash_udf(n_hashes: int, k: int):
@@ -318,30 +318,33 @@ def set_similarity_join(
 
     if method == "auto":
         n_docs = docs.count()
+        # ONE bounded ~4096-doc probe sample serves both decisions (the
+        # S_max bound and the df distribution come from the same, larger
+        # sample — a 256-doc side sample both cost an extra scan and gave
+        # the worst-case bound a thinner tail):
         # worst-case count-path volume is Σ_w df·(df−1)/2 ≤ S_max · n·(n−1)/2
         # (every one of a doc's ≤ S_max shingles shared by every pair).
-        # S_max is ESTIMATED from a ~256-doc sample with a 2× margin — a
-        # heavy tail the sample missed can still slip through, in which
-        # case the count join is oversized but bounded (never a
-        # crossJoin); an n·(n−1)/2-only bound would be a LOWER bound and
-        # skip the probe exactly when boilerplate blows it up.
-        def sampled_toks(target_docs: float, seed: int):
-            frac = min(1.0, target_docs / max(n_docs, 1))
-            src = docs if frac >= 1.0 else docs.sample(False, frac, seed=seed)
-            return _shingle_sets(src, id_col, text_col, k_shingle), frac
-
-        s_toks, _ = sampled_toks(256, seed=13)
-        s_max = s_toks.select(F.max(F.size("sh")).alias("m")).first()["m"] or 1
-        if n_docs * (n_docs - 1) // 2 * int(s_max) * 2 <= auto_count_budget:
-            method = "count"
-        else:
-            # probe a bounded document sample so the decision costs
-            # O(sample) regardless of corpus size (one metadata-cheap
-            # count + ~4k-doc shingle pass), scaled back up by 1/f²
-            probe_toks, frac = sampled_toks(4096, seed=7)
-            method = choose_set_similarity_method(
-                probe_toks, count_budget=auto_count_budget, scale=1.0 / (frac * frac)
-            )
+        # S_max is ESTIMATED with a 2× margin — a heavy tail the sample
+        # missed can still slip through, in which case the count join is
+        # oversized but bounded (never a crossJoin); an n·(n−1)/2-only
+        # bound would be a LOWER bound and skip the probe exactly when
+        # boilerplate blows it up.
+        frac = min(1.0, 4096.0 / max(n_docs, 1))
+        src = docs if frac >= 1.0 else docs.sample(False, frac, seed=7)
+        probe_toks = _shingle_sets(src, id_col, text_col, k_shingle).persist()
+        try:
+            s_max = probe_toks.select(F.max(F.size("sh")).alias("m")).first()["m"] or 1
+            if n_docs * (n_docs - 1) // 2 * int(s_max) * 2 <= auto_count_budget:
+                method = "count"
+            else:
+                # df probe over the SAME cached sample, scaled back up by
+                # 1/f² — the decision costs O(sample) regardless of corpus
+                # size (one metadata-cheap count + one ~4k-doc shingle pass)
+                method = choose_set_similarity_method(
+                    probe_toks, count_budget=auto_count_budget, scale=1.0 / (frac * frac)
+                )
+        finally:
+            probe_toks.unpersist()
 
     if method == "count":
         flat = toks.select("id", "n", F.explode("sh").alias("w"))

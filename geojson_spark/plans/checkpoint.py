@@ -52,25 +52,31 @@ class CheckpointTable:
             return {"buckets": {}, "seq": 0}
 
     def _with_lock(self, fn):
-        """Serialize manifest read-modify-write across processes: exclusive-
-        create lock file with bounded retry (a plain read+replace would lose
-        a concurrent committer's bucket — the opposite of a commit
-        protocol)."""
+        """Serialize manifest read-modify-write across processes: flock on a
+        persistent lock file with bounded retry (a plain read+replace would
+        lose a concurrent committer's bucket — the opposite of a commit
+        protocol). flock, not O_CREAT|O_EXCL: the kernel drops an flock when
+        its owner dies, so a SIGKILLed committer can never leave a stale
+        lock that blocks the kill→resume path this primitive exists for.
+        The lock file is deliberately never unlinked — removing an flocked
+        path would let two processes hold 'the lock' on different inodes."""
+        import fcntl
+
         lock = self._manifest_path + ".lock"
+        fd = os.open(lock, os.O_CREAT | os.O_WRONLY, 0o644)
         deadline = time.time() + 30.0
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                if time.time() > deadline:
-                    raise TimeoutError(f"manifest lock held too long: {lock}")
-                time.sleep(0.05)
         try:
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.time() > deadline:
+                        raise TimeoutError(f"manifest lock held too long: {lock}")
+                    time.sleep(0.05)
             return fn()
         finally:
-            os.close(fd)
-            os.unlink(lock)
+            os.close(fd)  # closing the fd releases the flock
 
     def commit_bucket(self, bucket: int, record: dict, *, meta: dict | None = None) -> None:
         """Atomic manifest swap under the commit lock."""

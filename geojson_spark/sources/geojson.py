@@ -150,7 +150,8 @@ def _feature_rows(feats: list[dict], base_idx: int) -> pd.DataFrame:
 
 
 def read_geojson(
-    spark: SparkSession, path: str, batch_size: int = 4096, properties_schema=None
+    spark: SparkSession, path: str, batch_size: int = 4096, properties_schema=None,
+    sniff_cap: int = 1 << 24,
 ) -> DataFrame:
     """Read GeoJSON file(s) → DataFrame[FEATURE_SCHEMA + source_file].
 
@@ -172,17 +173,26 @@ def read_geojson(
                     # past any fixed prefix); cap keeps memory bounded
                     head = fh.read(4096)
                     kind = _sniff_kind(head)
-                    while kind is None and len(head) < (1 << 24):
+                    while kind is None and len(head) < sniff_cap:
                         # geometric growth: each retry doubles the window,
                         # so the repeated full rescans sum to O(n), not
                         # O(n²/chunk)
-                        more = fh.read(min(max(1 << 16, len(head)), (1 << 24) - len(head)))
+                        more = fh.read(min(max(1 << 16, len(head)), sniff_cap - len(head)))
                         if not more:
                             break
                         head += more
                         kind = _sniff_kind(head)
                     if kind is None:
-                        kind = "single"
+                        # Undecided at EOF: the whole file fit in the sniff
+                        # window, so a whole-doc parse is memory-bounded.
+                        # Undecided at the CAP is different — the top-level
+                        # "type" may sit past 16 MB (e.g. a huge `features`
+                        # array preceding it), and falling back to a
+                        # whole-file read would silently abandon the
+                        # O(1-feature) streaming path on exactly the files
+                        # that need it. Route to the streaming scanner,
+                        # which errors cleanly if the doc isn't an FC.
+                        kind = "FeatureCollection" if len(head) >= sniff_cap else "single"
                     fh.seek(0)
                     if kind == "FeatureCollection":
                         batch: list[dict] = []

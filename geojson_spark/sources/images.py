@@ -264,10 +264,12 @@ def verify_invariants(images_df):
 
     # pandas-UDF stages run one task per input partition; a small parquet
     # arrives as 1 partition and would serialize the (expensive) decode
-    # loop on one core (CLAUDE.md small-parquet rule)
-    target = images_df.sparkSession.sparkContext.defaultParallelism
-    if images_df.rdd.getNumPartitions() < target:
-        images_df = images_df.repartition(target)
+    # loop on one core (CLAUDE.md small-parquet rule). Plan-aware so an
+    # expensive upstream pipeline is never executed twice just to count
+    # partitions under AQE.
+    from geojson_spark.functions.spark_funcs import ensure_min_partitions
+
+    images_df = ensure_min_partitions(images_df)
     return images_df.mapInPandas(
         check, schema="image_id string, psnr_ok boolean, caption_ok boolean, phash_ok boolean"
     )

@@ -119,6 +119,18 @@ def test_hex_k_ring():
     assert all(len(set(row)) == 19 for row in ring[:10])
 
 
+def test_hex_sentinel_propagates_through_parent_and_ring():
+    # hex_unpack(-1) decodes a plausible-looking (res=15) cell, so the
+    # parent/ring of a null-coordinate sentinel must stay -1 — otherwise
+    # it silently equi-joins to real cells.
+    cid = hex_cell_id(np.array([2.0, np.nan]), np.array([48.0, 1.0]), 9)
+    assert cid[1] == -1
+    p = hex_parent(cid, 8)
+    assert p[1] == -1 and p[0] != -1
+    ring = hex_k_ring(cid, 1)
+    assert (ring[1] == -1).all() and (ring[0] != -1).all()
+
+
 def test_haversine_known():
     # Paris → London ≈ 344 km
     d = haversine_km(np.array([2.3522]), np.array([48.8566]), np.array([-0.1276]), np.array([51.5072]))

@@ -126,6 +126,22 @@ def test_empty_coordinates_special_cases():
         assert serialize_geojson(kind, g) == '{"type":"%s","coordinates":[]}' % t
 
 
+def test_tokenizer_errors_carry_line_and_column():
+    # Reference parity (CHANGES.md:34-38): v1.0.0 errors carry position via
+    # serde_json::Error. A malformed token on line 3 must surface 1-based
+    # line/column both structurally and in the message.
+    bad = '{"type":"Point",\n"coordinates":\n[1.0,]\n}'
+    with pytest.raises(MalformedGeoJson) as ei:
+        parse_geojson(bad)
+    assert ei.value.lineno == 3
+    assert ei.value.colno == 6
+    assert "line 3 column 6" in str(ei.value)
+    # semantic (post-tokenizer) errors have no single source position
+    with pytest.raises(MalformedGeoJson) as ei:
+        parse_geojson('{"coordinates":[1.0,2.0]}')
+    assert ei.value.lineno is None and ei.value.colno is None
+
+
 def test_bad_documents():
     with pytest.raises(MalformedGeoJson):
         parse_geojson("[]")

@@ -325,3 +325,41 @@ def test_checkpoint_resume_guards(spark, tmp_path, docs):
     # matching resume still completes
     out = resumable_apply(spark, docs, fn, ck, stage="s1", bucket_col="doc_id", n_buckets=4)
     assert out.agg(F.sum("n")).first()[0] == docs.count()
+
+
+def test_checkpoint_lock_survives_killed_owner(tmp_path):
+    """A lock file left behind by a SIGKILLed committer must not block
+    commits: the flock protocol releases on process death, and a stale
+    lock FILE (vs a held flock) is just an unlocked inode."""
+    import subprocess
+    import sys
+    import time as _time
+
+    root = str(tmp_path / "ck")
+    ck = CheckpointTable(root)
+    # a crashed process leaves the lock file on disk with no live flock
+    open(ck._manifest_path + ".lock", "w").close()
+    ck.commit_bucket(0, {"stage": "s1"})
+    assert ck.completed_buckets("s1") == {0}
+
+    # a child that takes the flock and dies mid-critical-section releases it
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import fcntl, os, sys, time\n"
+            f"fd = os.open({ck._manifest_path + '.lock'!r}, os.O_CREAT | os.O_WRONLY)\n"
+            "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+            "print('locked', flush=True)\n"
+            "time.sleep(60)\n",
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    assert child.stdout.readline().strip() == "locked"
+    child.kill()
+    child.wait()
+    t0 = _time.time()
+    ck.commit_bucket(1, {"stage": "s1"})  # must not spin 30s then TimeoutError
+    assert _time.time() - t0 < 5.0
+    assert ck.completed_buckets("s1") == {0, 1}

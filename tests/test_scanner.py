@@ -130,3 +130,26 @@ def test_read_geojson_routes_preamble_file(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 1
     assert rows[0].geometry.coords == [3.0, 4.0]
+
+
+def test_read_geojson_sniff_cap_overflow_streams_instead_of_whole_file(spark, tmp_path):
+    # An FC whose `features` array precedes the top-level "type" and
+    # overflows the sniff window must still take the O(1-feature)
+    # streaming path (previously: silent whole-file read).
+    import json as _json
+
+    from geojson_spark.sources.geojson import read_geojson
+
+    feats = [
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [float(i), float(i + 1)]},
+         "properties": {"pad": "x" * 200, "i": i}}
+        for i in range(64)
+    ]
+    doc = _json.dumps({"features": feats, "type": "FeatureCollection"})
+    p = tmp_path / "big_preamble.geojson"
+    p.write_text(doc)
+    # cap far below the document size ⇒ sniff stays undecided at the cap
+    rows = read_geojson(spark, str(p), sniff_cap=1024).collect()
+    assert len(rows) == 64
+    assert sorted(r.geometry.coords[0] for r in rows) == [float(i) for i in range(64)]
