@@ -589,7 +589,7 @@ def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pts.withColumn("tile_id", grid_parent(F.col("cell_id"), 16))
         .groupBy("tile_id")
-        .agg(F.count("*").alias("n_points"), F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .agg(F.count("*").alias("n_points"), F.sum(F.floor("l_quantity")).alias("sum_qty"))
     )
 
 
@@ -598,7 +598,7 @@ def q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = _lineitem_points(spark, sf_dir).withColumn(
         "cell_id", grid_cell(F.col("lon"), F.col("lat"))
-    ).withColumn("qty_int", F.col("l_quantity").cast("bigint"))
+    ).withColumn("qty_int", F.floor("l_quantity"))
     return salted_agg(
         pts, "cell_id", {"n_points": ("count", "p_id"), "sum_qty": ("sum", "qty_int")},
         salt_col="p_id", n_salts=8,
@@ -902,8 +902,9 @@ def _geohash_sql(lon_sql: str, lat_sql: str, precision: int) -> str:
 
     half = 5 * precision // 2
     lim = 1 << half
-    x = f"least(cast(floor(({lon_sql} + 180.0) / 360.0 * {float(lim)}) as bigint), {lim - 1})"
-    y = f"least(cast(floor(({lat_sql} + 90.0) / 180.0 * {float(lim)}) as bigint), {lim - 1})"
+    # both-bounds clamp mirrors geohash_cell (out-of-range → cell 0)
+    x = f"greatest(least(cast(floor(({lon_sql} + 180.0) / 360.0 * {float(lim)}) as bigint), {lim - 1}), 0)"
+    y = f"greatest(least(cast(floor(({lat_sql} + 90.0) / 180.0 * {float(lim)}) as bigint), {lim - 1}), 0)"
     terms = []
     for i in range(half):
         terms.append(f"(({x} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
@@ -1186,7 +1187,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.floor("l_quantity")).alias("sum_qty"),
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("sum_base_cents"),
             F.count("*").alias("count_order"),
         )
@@ -1708,12 +1709,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT cast(floor(floor(cell_id / 4096) / 16) as bigint) * 4096
                    + cast(floor((cell_id % 4096) / 16) as bigint) AS tile_id,
                    count(*) AS n_points,
-                   cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty
+                   cast(sum(floor(l_quantity)) as bigint) AS sum_qty
             FROM c GROUP BY 1
         """,
         "salted_counts": f"""
             SELECT {GRID_SQL} AS cell_id, count(*) AS n_points,
-                   cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty
+                   cast(sum(floor(l_quantity)) as bigint) AS sum_qty
             FROM {pts} GROUP BY 1
         """,
         "region_rollup": """
@@ -1873,7 +1874,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty,
+                   cast(sum(floor(l_quantity)) as bigint) AS sum_qty,
                    cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint) AS sum_base_cents,
                    count(*) AS count_order
             FROM lineitem
@@ -2058,21 +2059,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT {GRID_SQL} AS cell_id, l_quantity FROM {pts}
             )
             SELECT 0 AS level, cell_id AS tile_id, count(*) AS n_points,
-                   cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty
+                   cast(sum(floor(l_quantity)) as bigint) AS sum_qty
             FROM c GROUP BY 2
             UNION ALL
             SELECT 1 AS level,
                    cast(floor(floor(cell_id / 4096) / 16) as bigint) * 4096
                    + cast(floor((cell_id % 4096) / 16) as bigint) AS tile_id,
                    count(*) AS n_points,
-                   cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty
+                   cast(sum(floor(l_quantity)) as bigint) AS sum_qty
             FROM c GROUP BY 2
             UNION ALL
             SELECT 2 AS level,
                    cast(floor(floor(cell_id / 4096) / 256) as bigint) * 4096
                    + cast(floor((cell_id % 4096) / 256) as bigint) AS tile_id,
                    count(*) AS n_points,
-                   cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty
+                   cast(sum(floor(l_quantity)) as bigint) AS sum_qty
             FROM c GROUP BY 2
         """,
         "bbox_join": """

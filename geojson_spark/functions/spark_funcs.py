@@ -131,7 +131,7 @@ def repartition_by_cell_prefix(
 
 
 _WIDE_PLAN_TOKENS = (
-    "Aggregate", "Join", "Sort", "Window", "Repartition", "Distinct",
+    "Aggregate", "Join", "Sort", "Window", "Distinct",
     "Deduplicate", "GlobalLimit", "FlatMapGroupsInPandas",
 )
 
@@ -151,6 +151,11 @@ def ensure_min_partitions(df) -> "DataFrame":  # noqa: F821 — forward ref
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if "Repartition" in plan:
+        # the caller already partitioned explicitly (e.g. a cell-prefix
+        # hash distribution downstream ops reuse) — a blanket round-robin
+        # here would both add a shuffle and erase that distribution
+        return df
     if any(tok in plan for tok in _WIDE_PLAN_TOKENS):
         return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
@@ -191,11 +196,17 @@ def geohash_cell(lon: Column, lat: Column, precision: int = 6) -> Column:
         raise ValueError("geohash_cell supports even precision only")
     half = 5 * precision // 2
     lim = 1 << half
-    x = F.least(
-        F.floor((lon + 180.0) / 360.0 * float(lim)).cast("bigint"), F.lit(lim - 1)
+    # clamp BOTH bounds: lon=180/lat=90 land in the last cell, and
+    # out-of-range/sentinel coordinates (e.g. -999) clamp to cell 0 instead
+    # of interleaving a negative bigint into plausible-looking garbage bits
+    # (shiftrightunsigned of a negative also diverges from the oracle's //)
+    x = F.greatest(
+        F.least(F.floor((lon + 180.0) / 360.0 * float(lim)).cast("bigint"), F.lit(lim - 1)),
+        F.lit(0).cast("bigint"),
     )
-    y = F.least(
-        F.floor((lat + 90.0) / 180.0 * float(lim)).cast("bigint"), F.lit(lim - 1)
+    y = F.greatest(
+        F.least(F.floor((lat + 90.0) / 180.0 * float(lim)).cast("bigint"), F.lit(lim - 1)),
+        F.lit(0).cast("bigint"),
     )
     out = F.lit(0).cast("bigint")
     for i in range(half):

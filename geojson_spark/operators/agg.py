@@ -53,8 +53,14 @@ def bbox_union_agg(df: DataFrame, group_cols: list[str], bbox_col: str = "bbox")
         ).alias("_pairs")
     ).select(*group_cols, F.transform("_pairs", lambda s: s["_v"]).alias("_folded"))
 
-    out = flags.join(assembled, group_cols, "left").select(
-        *group_cols,
+    # eqNullSafe: NULL group keys are legitimate groups (groupBy folds
+    # them into one), but a plain equi-join would never match them and
+    # silently NULL their union
+    cond = F.lit(True)
+    for c in group_cols:
+        cond = cond & flags[c].eqNullSafe(assembled[c])
+    out = flags.join(assembled, cond, "left").select(
+        *[flags[c] for c in group_cols],
         F.when(
             (F.col("_poisoned") == 1) | (F.col("_lmin") != F.col("_lmax")), F.lit(None)
         )
@@ -151,5 +157,8 @@ def tile_pyramid(
     ).select("lt.level", "lt.tile_id", *([value_col] if value_col else []))
     aggs = [F.count("*").alias("n_points")]
     if value_col:
-        aggs.append(F.sum(F.col(value_col).cast("bigint")).alias(f"sum_{value_col}"))
+        # floor, not cast: Spark's double→bigint cast truncates toward
+        # zero while DuckDB's rounds — floor is the one integerization both
+        # engines define identically (CLAUDE.md shared-derivation rule)
+        aggs.append(F.sum(F.floor(F.col(value_col))).alias(f"sum_{value_col}"))
     return exploded.groupBy("level", "tile_id").agg(*aggs)

@@ -39,9 +39,9 @@ def sessionize(
     is_new = F.when(
         lag_ts.isNull() | (F.col(ts_col) > lag_ts + F.expr(f"INTERVAL {gap}")), 1
     ).otherwise(0)
-    run = Window.partitionBy(user_col).orderBy(
-        F.col(ts_col).asc(), F.col(tie_col).asc()
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # derive the running frame from the SAME spec as the lag window — a
+    # divergent ordering between the two would split sessions differently
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return events.withColumn("session_id", F.sum(is_new).over(run))
 
 

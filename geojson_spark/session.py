@@ -19,7 +19,14 @@ _ATTACHED: set[int] = set()
 
 
 def attach_package(spark: SparkSession) -> None:
-    """Ship this package to executors (idempotent per SparkContext)."""
+    """Ship this package to executors (idempotent per SparkContext).
+
+    Also pins ``spark.sql.session.timeZone`` to UTC (runtime-settable,
+    per-session, so this covers externally-created sessions too): NTZ→TZ
+    casts and ``F.window`` bucketing otherwise follow the HOST timezone,
+    which would shear hour windows by the host's UTC offset and break
+    engine↔oracle parity on any non-UTC machine."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     sc = spark.sparkContext
     key = id(sc)
     if key in _ATTACHED:

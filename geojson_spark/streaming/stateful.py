@@ -43,7 +43,11 @@ def _session_fold(gap_ns: int):
             last_ts_ns, n_events, n_sessions = None, 0, 0
         ts_parts = []
         for pdf in pdfs:
-            ts_parts.append(pdf["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64))
+            # NaT (null ts) would decode to int64-min, overflow the gap
+            # subtraction, and poison last_ts for every later batch —
+            # rows without an event time cannot be sessionized
+            col = pdf["ts"].to_numpy(dtype="datetime64[ns]")
+            ts_parts.append(col[~np.isnat(col)].astype(np.int64))
         ts = np.sort(np.concatenate(ts_parts)) if ts_parts else np.empty(0, np.int64)
         if ts.size:
             prev = np.empty_like(ts)
@@ -54,7 +58,11 @@ def _session_fold(gap_ns: int):
             # batch formulation ts > lag(ts) + INTERVAL gap)
             n_sessions += int((ts - prev > gap_ns).sum())
             n_events += int(ts.size)
-            last_ts_ns = int(ts[-1])
+            # max, not last: an out-of-order micro-batch whose events all
+            # precede last_ts must not REGRESS the state — a later batch
+            # would then see an inflated gap vs the true latest event and
+            # overcount sessions
+            last_ts_ns = max(int(ts[-1]), last_ts_ns) if last_ts_ns is not None else int(ts[-1])
         state.update((last_ts_ns, n_events, n_sessions))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n_events], "n_sessions": [n_sessions]}
@@ -117,10 +125,17 @@ def stream_dedup(stream: DataFrame, *, key_cols: list[str], ts_col: str = "ts",
     may re-emit, which is the standard bounded-state trade; an unbounded
     ``dropDuplicates`` would grow state forever on a real stream). The
     same call works on batch frames via plain dropDuplicates."""
+    typed = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if not stream.isStreaming:
-        return stream.dropDuplicates(key_cols)
-    return (
-        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-        .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(key_cols)
-    )
+        # deterministic 'first arrival' for the batch path (plain
+        # dropDuplicates keeps an arbitrary partition-order-dependent row);
+        # same ts cast as the streaming path so the two schemas match
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc_nulls_last())
+        return (
+            typed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return typed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

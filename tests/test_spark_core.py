@@ -263,6 +263,35 @@ def test_bbox_union_agg_poison(spark):
     assert out2.loc["ok", "max_x"] == 1.0
 
 
+def test_bbox_union_agg_null_group_key(spark):
+    # NULL group keys are legitimate groups: a null-unsafe flags↔assembled
+    # join would silently return NULL for their (healthy) union.
+    rows = [
+        (None, [0.0, 0.0, 1.0, 1.0]), (None, [2.0, 2.0, 3.0, 3.0]),
+        ("k", [0.0, 0.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "k string, bbox array<double>")
+    out = {r.k: r.bbox for r in bbox_union_agg(df, ["k"]).collect()}
+    assert out[None] == [0.0, 0.0, 3.0, 3.0]
+    assert out["k"] == [0.0, 0.0, 1.0, 1.0]
+
+
+def test_geohash_out_of_range_clamps_to_edge_cells(spark):
+    from geojson_spark.functions.spark_funcs import geohash_cell
+
+    df = spark.createDataFrame(
+        [(1, -180.5, 0.0), (2, -180.0, 0.0), (3, 999.0, 91.0), (4, 180.0, 90.0)],
+        "id long, lon double, lat double",
+    )
+    got = {
+        r.id: r.c
+        for r in df.select("id", geohash_cell(F.col("lon"), F.col("lat"), 4).alias("c")).collect()
+    }
+    assert got[1] == got[2]  # below-range lon clamps to the first column
+    assert got[3] == got[4]  # above-range clamps to the last cell
+    assert all(v >= 0 for v in got.values())
+
+
 def test_salted_agg_equals_plain(spark, images):
     from geojson_spark.functions.spark_funcs import grid_cell
 

@@ -179,6 +179,56 @@ def test_stateful_streaming_sessions_match_batch(spark, tmp_path):
     assert n_updates >= 2
 
 
+class _FakeState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _fold_batch(fold, state, ts_list):
+    pdf = pd.DataFrame({"ts": pd.to_datetime(ts_list)})
+    return list(fold((1,), iter([pdf]), state))[-1].iloc[0]
+
+
+def test_stateful_fold_out_of_order_batch_does_not_regress_state():
+    """A late micro-batch whose events all precede last_ts must not
+    REGRESS the stored high-water mark — otherwise the next batch sees an
+    inflated gap vs the true latest event and overcounts sessions."""
+    from geojson_spark.streaming.stateful import _session_fold
+
+    fold = _session_fold(30 * 60 * 1_000_000_000)
+    st = _FakeState()
+    _fold_batch(fold, st, ["2024-01-01 12:00:00"])          # opens session 1
+    _fold_batch(fold, st, ["2024-01-01 11:50:00"])          # late: merges
+    row = _fold_batch(fold, st, ["2024-01-01 12:25:00"])    # 25 min after TRUE latest
+    assert row["n_sessions"] == 1, "late batch regressed last_ts and split the session"
+    assert row["n_events"] == 3
+
+
+def test_stateful_fold_ignores_null_timestamps():
+    from geojson_spark.streaming.stateful import _session_fold
+
+    fold = _session_fold(30 * 60 * 1_000_000_000)
+    st = _FakeState()
+    row = _fold_batch(fold, st, ["2024-01-01 12:00:00", None, "2024-01-01 12:10:00"])
+    assert row["n_events"] == 2 and row["n_sessions"] == 1
+    # an all-NaT batch must not poison last_ts with int64-min
+    row = _fold_batch(fold, st, [None])
+    assert row["n_events"] == 2
+    row = _fold_batch(fold, st, ["2024-01-01 12:20:00"])
+    assert row["n_sessions"] == 1  # 10-min gap vs the real last event
+
+
 # ---------------------------------------------------------------------------
 # set-similarity join (prefix filter) vs brute force
 # ---------------------------------------------------------------------------
