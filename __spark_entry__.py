@@ -896,6 +896,98 @@ def q_fidelity_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s2_rollup_oracle_sql() -> str:
+    """DuckDB replica of q_s2_tile_rollup, bit-exact with zero float luck.
+
+    Chain shared with the engine: integer (a,b,c) → double (exact) →
+    n = sqrt(a²+b²+c²) (sums of exact ints, one correctly-rounded sqrt) →
+    x,y,z single divides → face by |·| comparisons → u,v single divides →
+    S2 quadratic st (one sqrt + fixed multiplies) → i30 = trunc(st·2³⁰)
+    clamped → i7 = i30 // 2²³ → 7 unrolled steps of the classic per-bit
+    Hilbert (intermediates re-masked to [0, s) so SQL's division-based bit
+    extraction matches NumPy's two's-complement &) → level-7 parent id =
+    face·2⁶¹ + d₇·2⁴⁷ + 2⁴⁶ computed in HUGEINT and wrapped mod 2⁶⁴ to
+    signed BIGINT, exactly the engine's int64 packing."""
+    steps = []
+    for k, s in enumerate((64, 32, 16, 8, 4, 2, 1)):
+        p = f"h{k}"
+        c = f"h{k + 1}"
+        steps.append(f"""
+        , {c} AS (
+          SELECT face,
+            CASE WHEN ry = 1 THEN x
+                 WHEN rx = 1 THEN ((({s} - 1 - y) % {s}) + {s}) % {s}
+                 ELSE y END AS x,
+            CASE WHEN ry = 1 THEN y
+                 WHEN rx = 1 THEN ((({s} - 1 - x) % {s}) + {s}) % {s}
+                 ELSE x END AS y,
+            d + {s * s} * (CASE WHEN rx = 0 THEN ry ELSE 3 - ry END) AS d
+          FROM (
+            SELECT face, x, y, d,
+                   (x // {s}) % 2 AS rx, (y // {s}) % 2 AS ry
+            FROM {p}
+          )
+        )""")
+    hilbert = "".join(steps)
+    return f"""
+        WITH pid AS (
+          SELECT (l_orderkey*10 + l_linenumber)::BIGINT AS p_id FROM lineitem
+        ), abc AS (
+          SELECT cast((p_id * 7919) % 2001 - 1000 as double) AS a,
+                 cast((p_id * 104729) % 2001 - 1000 as double) AS b,
+                 cast(((p_id * 1299709) % 1999 - 999) * 2 + 1 as double) AS c
+          FROM pid
+        ), xyz AS (
+          SELECT a / n AS x, b / n AS y, c / n AS z FROM (
+            SELECT a, b, c, sqrt(a*a + b*b + c*c) AS n FROM abc
+          )
+        ), f1 AS (
+          SELECT x, y, z,
+            CASE WHEN abs(x) >= abs(y)
+                 THEN (CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END)
+                 ELSE (CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END) END AS axis
+          FROM xyz
+        ), f2 AS (
+          SELECT *, CASE axis WHEN 0 THEN x WHEN 1 THEN y ELSE z END AS major FROM f1
+        ), f3 AS (
+          SELECT *, CASE WHEN major < 0 THEN axis + 3 ELSE axis END AS face FROM f2
+        ), f4 AS (
+          SELECT face,
+            (CASE face WHEN 0 THEN y WHEN 1 THEN -x WHEN 2 THEN -x
+                       WHEN 3 THEN z WHEN 4 THEN z ELSE -y END) / major AS u,
+            (CASE face WHEN 0 THEN z WHEN 1 THEN z WHEN 2 THEN -y
+                       WHEN 3 THEN y WHEN 4 THEN -x ELSE -x END) / major AS v
+          FROM f3
+        ), st AS (
+          SELECT face,
+            CASE WHEN u >= 0 THEN 0.5*sqrt(abs(1.0 + 3.0*u))
+                 ELSE 1.0 - 0.5*sqrt(abs(1.0 - 3.0*u)) END AS s,
+            CASE WHEN v >= 0 THEN 0.5*sqrt(abs(1.0 + 3.0*v))
+                 ELSE 1.0 - 0.5*sqrt(abs(1.0 - 3.0*v)) END AS t
+          FROM f4
+        ), h0 AS (
+          SELECT face,
+            least(greatest(cast(trunc(s * 1073741824.0) as bigint), 0), 1073741823)
+              // 8388608 AS x,
+            least(greatest(cast(trunc(t * 1073741824.0) as bigint), 0), 1073741823)
+              // 8388608 AS y,
+            0::BIGINT AS d
+          FROM st
+        ){hilbert}
+        SELECT CASE WHEN t >= 9223372036854775808::HUGEINT
+                    THEN cast(t - 18446744073709551616::HUGEINT as bigint)
+                    ELSE cast(t as bigint) END AS tile7,
+               count(*) AS n_points
+        FROM (
+          SELECT face::HUGEINT * 2305843009213693952::HUGEINT
+                 + d::HUGEINT * 140737488355328::HUGEINT
+                 + 70368744177664::HUGEINT AS t
+          FROM h7
+        )
+        GROUP BY 1
+    """
+
+
 def _geohash_sql(lon_sql: str, lat_sql: str, precision: int) -> str:
     """DuckDB replica of geohash_string: same bit interleave + base32."""
     from geojson_spark.functions.spark_funcs import GEOHASH_BASE32
@@ -1004,13 +1096,37 @@ def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = st_triangle(x1, y1, x2, y2, x3, y3)
     df = nat.select(k.cast("bigint").alias("poly_id"), g.alias("g"))
     cx, cy = st_centroid_xy(F.col("g"))
-    return df.select(
+    metrics = df.select(
         "poly_id",
         F.floor(st_area(F.col("g")) * 1000).cast("bigint").alias("area_milli"),
         F.floor(st_perimeter(F.col("g")) * 1000000).cast("bigint").alias("perim_micro"),
         F.floor(cx * 1000000).cast("bigint").alias("cx_micro"),
         F.floor(cy * 1000000).cast("bigint").alias("cy_micro"),
     )
+    # folded-in former rect_areas query (same poly_id key, keeps its own
+    # pandas-UDF shoelace path under the oracle gate without costing a
+    # slot in the driver's 50-query window)
+    from pyspark.sql.types import DoubleType
+
+    from geojson_spark.functions.geometry import polygon_area
+
+    polys = _nation_rects(spark, sf_dir)
+
+    @F.pandas_udf(DoubleType())
+    def _area(coords: pd.Series, rings: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            [polygon_area(np.asarray(c), np.asarray(r)) for c, r in zip(coords, rings)]
+        )
+
+    rect = polys.select(
+        "poly_id",
+        (F.round(_area(F.col("coords"), F.col("ring_offsets")) * 1000) / 1000).alias(
+            "rect_area_deg2"
+        ),
+    )
+    return metrics.join(rect, "poly_id")
 
 
 def q_gc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1105,12 +1221,25 @@ def q_hex_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_s2_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 level-13 assignment rolled up to level-7 parents via pure bit
-    arithmetic — the raster-tile↔vector-cell join shape on the real index."""
-    from geojson_spark.functions.spark_funcs import s2_cell_udf, s2_parent_col
+    arithmetic — the raster-tile↔vector-cell join shape on the real index.
+
+    Fully DuckDB-oracle-able (no trig, no float luck): direction vectors
+    come from a shared integer derivation (c is odd so the vector is never
+    zero), and every op in ``xyz_to_cell_id`` past xyz — compares, single
+    divides, sqrt, truncate, Hilbert bits — is replayed in SQL. The
+    oracle computes the level-7 parent directly as the 7-level Hilbert
+    prefix (verified prefix property of the classic per-bit curve)."""
+    from geojson_spark.functions.spark_funcs import s2_cell_xyz_udf, s2_parent_col
 
     pts = _lineitem_points(spark, sf_dir)
+    pid = F.col("p_id")
+    a = ((pid * 7919) % 2001 - 1000).cast("double")
+    b = ((pid * 104729) % 2001 - 1000).cast("double")
+    c = (((pid * 1299709) % 1999 - 999) * 2 + 1).cast("double")
+    n = F.sqrt(a * a + b * b + c * c)
+    df = pts.select((a / n).alias("x"), (b / n).alias("y"), (c / n).alias("z"))
     return (
-        pts.withColumn("cell13", s2_cell_udf(13)(F.col("lon"), F.col("lat")))
+        df.withColumn("cell13", s2_cell_xyz_udf(13)(F.col("x"), F.col("y"), F.col("z")))
         .withColumn("tile7", s2_parent_col(F.col("cell13"), 7))
         .groupBy("tile7")
         .agg(F.count("*").alias("n_points"))
@@ -1422,31 +1551,6 @@ def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_rect_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Planar polygon area (shoelace over the flat geometry encoding) of the
-    nation rectangles, rounded to 1e-3 deg² for engine-exact comparison."""
-    from pyspark.sql.types import DoubleType
-
-    from geojson_spark.functions.geometry import polygon_area
-
-    polys = _nation_rects(spark, sf_dir)
-
-    @F.pandas_udf(DoubleType())
-    def _area(coords: pd.Series, rings: pd.Series) -> pd.Series:
-        import numpy as np
-
-        return pd.Series(
-            [polygon_area(np.asarray(c), np.asarray(r)) for c, r in zip(coords, rings)]
-        )
-
-    return polys.select(
-        "poly_id",
-        (F.round(_area(F.col("coords"), F.col("ring_offsets")) * 1000) / 1000).alias(
-            "area_deg2"
-        ),
-    )
-
-
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus filter: keep docs that are (a) the exact-
     dedup keeper of their content, (b) quality score ≥ 0.5, (c) classified
@@ -1636,15 +1740,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keepers": wrap(q_dedup_keepers),
         "priority_stats": wrap(q_priority_stats),
         "props_extract": wrap(q_props_extract),
-        "rect_areas": wrap(q_rect_areas),
         "doc_fingerprint": wrap(q_doc_fingerprint),
+        "s2_tile_rollup": wrap(q_s2_tile_rollup),
         # --- rows-only entries (no DuckDB oracle, by documented design) go
         # LAST: the driver checks the first 50 dict entries, and every slot
-        # inside that window must carry a full oracle.  s2_tile_rollup uses
-        # libm trig (not SQL-bit-stable), compression_ratio needs zlib
-        # (absent in DuckDB), ann_ivf is approximate by construction; each
-        # has its invariant asserted in pytest instead.
-        "s2_tile_rollup": wrap(q_s2_tile_rollup),
+        # inside that window must carry a full oracle. compression_ratio
+        # needs zlib (absent in DuckDB) and ann_ivf is approximate by
+        # construction; each has its invariant asserted in pytest instead.
         "compression_ratio": wrap(q_compression_ratio),
         "ann_ivf": wrap(q_ann_ivf),
     }
@@ -2038,11 +2140,8 @@ def oracle_sql() -> dict[str, str]:
                    max(cast(props->>'$.k' as bigint)) AS max_k
             FROM events GROUP BY 1
         """,
-        "rect_areas": f"""
-            SELECT poly_id, round((x1 - x0) * (y1 - y0) * 1000) / 1000 AS area_deg2
-            FROM ({_NATION_RECTS_SQL})
-        """,
         "hex_cell_counts": _HEX_CELL_COUNTS_SQL,
+        "s2_tile_rollup": _s2_rollup_oracle_sql(),
         "doc_fingerprint": _fp_oracle_sql(),
         "hash_split": _hash_split_oracle_sql(),
         "contamination": _contamination_oracle_sql(),
@@ -2099,7 +2198,7 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN b
               ON ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1
         """,
-        "polygon_metrics": """
+        "polygon_metrics": f"""
             WITH v AS (
               SELECT n_nationkey::BIGINT AS poly_id,
                      ((n_nationkey*13) % 100)::DOUBLE AS x1,
@@ -2112,17 +2211,24 @@ def oracle_sql() -> dict[str, str]:
                        + (4 + n_nationkey % 7)::DOUBLE AS y3
               FROM nation
             )
-            SELECT poly_id,
-                   cast(floor(abs(0 + (x1*y2 - x2*y1) + (x2*y3 - x3*y2)
-                                    + (x3*y1 - x1*y3)) / 2.0 * 1000) as bigint)
-                     AS area_milli,
-                   cast(floor((0 + sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))
-                                 + sqrt((x3-x2)*(x3-x2) + (y3-y2)*(y3-y2))
-                                 + sqrt((x1-x3)*(x1-x3) + (y1-y3)*(y1-y3)))
-                              * 1000000) as bigint) AS perim_micro,
-                   cast(floor((0 + x1 + x2 + x3) / 3.0 * 1000000) as bigint) AS cx_micro,
-                   cast(floor((0 + y1 + y2 + y3) / 3.0 * 1000000) as bigint) AS cy_micro
-            FROM v
+            SELECT m.poly_id, m.area_milli, m.perim_micro, m.cx_micro,
+                   m.cy_micro, r.rect_area_deg2
+            FROM (
+              SELECT poly_id,
+                     cast(floor(abs(0 + (x1*y2 - x2*y1) + (x2*y3 - x3*y2)
+                                      + (x3*y1 - x1*y3)) / 2.0 * 1000) as bigint)
+                       AS area_milli,
+                     cast(floor((0 + sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))
+                                   + sqrt((x3-x2)*(x3-x2) + (y3-y2)*(y3-y2))
+                                   + sqrt((x1-x3)*(x1-x3) + (y1-y3)*(y1-y3)))
+                                * 1000000) as bigint) AS perim_micro,
+                     cast(floor((0 + x1 + x2 + x3) / 3.0 * 1000000) as bigint) AS cx_micro,
+                     cast(floor((0 + y1 + y2 + y3) / 3.0 * 1000000) as bigint) AS cy_micro
+              FROM v
+            ) m JOIN (
+              SELECT poly_id, round((x1 - x0) * (y1 - y0) * 1000) / 1000 AS rect_area_deg2
+              FROM ({_NATION_RECTS_SQL})
+            ) r USING (poly_id)
         """,
         "pack_sequences": r"""
             WITH RECURSIVE t AS (

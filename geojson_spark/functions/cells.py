@@ -253,6 +253,31 @@ def s2_lsb(level: int) -> np.int64:
     return np.int64(1) << (2 * (S2_MAX_LEVEL - level))
 
 
+def xyz_to_cell_id(x, y, z, level: int = 13) -> np.ndarray:
+    """Unit-sphere (or any nonzero) direction vectors → int64 S2-style cell
+    ids at ``level``. The ECEF-direction entry point: every operation after
+    the caller's xyz derivation is comparisons / divides / sqrt / truncate
+    (IEEE-correctly-rounded, engine-independent), which is what makes this
+    path SQL-oracle-replayable bit-for-bit when the xyz themselves come
+    from a shared derivation. Non-finite or zero vectors map to the
+    sentinel -1 (never a valid id)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    ok = (
+        np.isfinite(x) & np.isfinite(y) & np.isfinite(z)
+        & ((x != 0.0) | (y != 0.0) | (z != 0.0))
+    )
+    face, u, v = _xyz_to_face_uv(
+        np.where(ok, x, 1.0), np.where(ok, y, 0.0), np.where(ok, z, 0.0)
+    )
+    i = np.clip((_uv_to_st(u) * float(_S2_LIMIT)).astype(np.int64), 0, _S2_LIMIT - 1)
+    j = np.clip((_uv_to_st(v) * float(_S2_LIMIT)).astype(np.int64), 0, _S2_LIMIT - 1)
+    d = _hilbert_xy_to_d(S2_MAX_LEVEL, i, j)
+    leaf = (face << np.int64(61)) | (d << np.int64(1)) | np.int64(1)
+    return np.where(ok, s2_parent(leaf, level), np.int64(-1))
+
+
 def s2_cell_id(lon_deg, lat_deg, level: int = 13) -> np.ndarray:
     """lon/lat arrays → int64 S2-style cell ids at ``level``. Non-finite
     coordinates map to the sentinel -1 (never a valid id — valid ids carry
@@ -262,12 +287,8 @@ def s2_cell_id(lon_deg, lat_deg, level: int = 13) -> np.ndarray:
     lat = np.asarray(lat_deg, dtype=np.float64)
     finite = np.isfinite(lon) & np.isfinite(lat)
     x, y, z = lonlat_to_xyz(np.where(finite, lon, 0.0), np.where(finite, lat, 0.0))
-    face, u, v = _xyz_to_face_uv(x, y, z)
-    i = np.clip((_uv_to_st(u) * float(_S2_LIMIT)).astype(np.int64), 0, _S2_LIMIT - 1)
-    j = np.clip((_uv_to_st(v) * float(_S2_LIMIT)).astype(np.int64), 0, _S2_LIMIT - 1)
-    d = _hilbert_xy_to_d(S2_MAX_LEVEL, i, j)
-    leaf = (face << np.int64(61)) | (d << np.int64(1)) | np.int64(1)
-    return np.where(finite, s2_parent(leaf, level), np.int64(-1))
+    cell = xyz_to_cell_id(x, y, z, level)
+    return np.where(finite, cell, np.int64(-1))
 
 
 def s2_parent(cell_id: np.ndarray, level: int) -> np.ndarray:

@@ -83,6 +83,23 @@ def s2_cell_udf(level: int = 13):
     return _s2
 
 
+def s2_cell_xyz_udf(level: int = 13):
+    """pandas UDF (x, y, z) → S2-style int64 cell id at ``level`` — the
+    ECEF-direction entry point (``cells.xyz_to_cell_id``). Every op past
+    the xyz inputs is SQL-replayable, so queries that derive xyz from a
+    shared arithmetic can be hash-checked against a DuckDB oracle with no
+    trig in the chain."""
+
+    @F.pandas_udf(LongType())
+    def _s2xyz(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+        out = _cells.xyz_to_cell_id(
+            x.to_numpy(np.float64), y.to_numpy(np.float64), z.to_numpy(np.float64), level
+        )
+        return pd.Series(out)
+
+    return _s2xyz
+
+
 def hex_cell_udf(res: int = 9):
     """pandas UDF (lon, lat) → hex cell id at ``res``."""
 

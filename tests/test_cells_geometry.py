@@ -119,6 +119,18 @@ def test_hex_k_ring():
     assert all(len(set(row)) == 19 for row in ring[:10])
 
 
+def test_xyz_to_cell_id_matches_lonlat_path_and_guards():
+    from geojson_spark.functions.cells import lonlat_to_xyz, s2_cell_id, xyz_to_cell_id
+
+    x, y, z = lonlat_to_xyz(LON[:500], LAT[:500])
+    assert np.array_equal(xyz_to_cell_id(x, y, z, 13), s2_cell_id(LON[:500], LAT[:500], 13))
+    # zero and non-finite vectors map to the sentinel
+    bad = xyz_to_cell_id(
+        np.array([0.0, np.nan, 1.0]), np.array([0.0, 0.0, 0.0]), np.array([0.0, 0.0, 0.0]), 13
+    )
+    assert bad[0] == -1 and bad[1] == -1 and bad[2] != -1
+
+
 def test_hex_sentinel_propagates_through_parent_and_ring():
     # hex_unpack(-1) decodes a plausible-looking (res=15) cell, so the
     # parent/ring of a null-coordinate sentinel must stay -1 — otherwise
