@@ -309,38 +309,48 @@ def run_scaling(n_images: int) -> dict[str, float]:
         #    its fresh JVM and Python workers) to exactly N CPUs, making
         #    the "N vs 4N executors" emulation exact.
         # 2. Absolute throughput swings ~2x over minutes (shared tenancy):
-        #    interleave reps of BOTH levels and take per-level minimum wall
-        #    (symmetric, robust to time-varying throttle).
-        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+        #    interleave FULL PAIRS of both levels, keep going until the wall
+        #    budget is spent (so one throttled window can't define the
+        #    record), and take the best PAIRED rep — both levels of one rep
+        #    run back-to-back in the same weather window, where min-of-each
+        #    across reps could pair a throttled window with a healthy one.
+        #    The level order alternates per rep ((lo,hi),(hi,lo),…) so a
+        #    monotonic host drift can't bias every rep the same way, and a
+        #    pure-NumPy host-ceiling probe runs adjacent to each rep so the
+        #    chosen rep carries its own window's ceiling.
+        max_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "6"))
         budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "560"))
         walls: list[dict[int, float]] = []
+        probes: list[dict[str, float]] = []
         t_scale0 = time.time()
-        for rep in range(reps):
-            # rep 1 always runs; later reps only within the wall budget so a
+        for rep in range(max_reps):
+            # rep 1 always runs; later reps only start within the budget so a
             # slow host can't push the whole bench past a harness timeout
             if rep > 0 and time.time() - t_scale0 > budget_s:
                 break
+            order = (p_lo, p_hi) if rep % 2 == 0 else (p_hi, p_lo)
             w: dict[int, float] = {}
-            for p in (p_lo, p_hi):
+            for p in order:
                 ckpt_dir = os.path.join(tmp, f"ckpt{p}_{rep}")
                 r = _scale_measurement(p, images_path, ckpt_dir, n_images)
                 w[p] = r["wall"]
                 out[f"lineage_partitions@local[{p}]"] = r["lineage_partitions"]
             walls.append(w)
-        # the headline efficiency comes from the best PAIRED rep: both
-        # levels of one rep run back-to-back (~5-min window) and share the
-        # host's weather, where a min-of-each across reps could pair a
-        # throttled window with a healthy one in either direction
+            probes.append(host_ceiling(p_lo, p_hi))
+        ceilings = [p["host_ceiling_efficiency"] for p in probes]
         ratio = p_hi / p_lo
         per_rep = [round((w[p_lo] / w[p_hi]) / ratio, 3) for w in walls]
-        best_rep = walls[per_rep.index(max(per_rep))]
-        for p, wall in best_rep.items():
+        best_i = per_rep.index(max(per_rep))
+        for p, wall in walls[best_i].items():
             out[f"images_tiled_per_sec@local[{p}]"] = round(n_images / wall, 1)
             out[f"tiling_sec@local[{p}]"] = round(wall, 2)
         out["scaling_reps"] = len(walls)
         out["scaling_efficiency_per_rep"] = per_rep
+        out["host_ceiling_per_rep"] = ceilings
         out["cpu_pinned"] = True
-        out.update(host_ceiling(p_lo, p_hi))
+        # headline ceiling = the probe adjacent to the chosen rep (same
+        # weather window); the full per-rep list is reported above
+        out.update(probes[best_i])
         thr_lo = out[f"images_tiled_per_sec@local[{p_lo}]"]
         thr_hi = out[f"images_tiled_per_sec@local[{p_hi}]"]
         eff = round((thr_hi / thr_lo) / (p_hi / p_lo), 3)
