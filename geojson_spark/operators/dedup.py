@@ -330,7 +330,15 @@ def set_similarity_join(
         # bound would be a LOWER bound and skip the probe exactly when
         # boilerplate blows it up.
         frac = min(1.0, 4096.0 / max(n_docs, 1))
-        src = docs if frac >= 1.0 else docs.sample(False, frac, seed=7)
+        # limit(), not sample(): a fractional sample SCANS the whole corpus
+        # to keep 4096 docs (at 100 TB the probe would double the read), and
+        # LocalLimit stops after ~one input split. The file-order bias is
+        # acceptable for a method heuristic, and errs in safe directions:
+        # correlated docs overestimate df → conservatively picks prefix;
+        # corpus-wide boilerplate is in any 4096 docs by definition; a
+        # missed heavy tail means an oversized-but-bounded count join
+        # (exactly the sample()'s failure mode too).
+        src = docs if frac >= 1.0 else docs.limit(4096)
         probe_toks = _shingle_sets(src, id_col, text_col, k_shingle).persist()
         try:
             s_max = probe_toks.select(F.max(F.size("sh")).alias("m")).first()["m"] or 1
