@@ -1663,6 +1663,29 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", F.col("rank").cast("bigint").alias("rank"))
 
 
+# BM25 query set — ONE Python constant feeds both the Spark DataFrame and
+# the oracle's VALUES list, so the two sides can never drift. Mixed-df
+# terms: 'dup' is the corpus's one rare token (idf contrast).
+_BM25_QUERIES = [
+    (0, "spark join table"),
+    (1, "dup merge batch"),
+    (2, "window sort key order"),
+    (3, "vector stream filter"),
+]
+_BM25_TERMS = [(q, w) for q, s in _BM25_QUERIES for w in s.split()]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rational-idf BM25 top-5 retrieval (integer-exact scoring; see
+    operators/retrieval.py for the derivation that removes ln from the
+    idf so a SQL oracle replays the BIGINT scores bit-identically)."""
+    from geojson_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qt = spark.createDataFrame(_BM25_TERMS, "q_id int, term string")
+    return bm25_topk(docs, qt, k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: derived points → S2 PIP join vs nation rects → per-polygon
     count + bbox (parse → cell assign → cover explode → equi-join →
@@ -1749,6 +1772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # construction; each has its invariant asserted in pytest instead.
         "compression_ratio": wrap(q_compression_ratio),
         "ann_ivf": wrap(q_ann_ivf),
+        # --- round-3 additions: fully oracled, but intentionally AFTER the
+        # rows-only pair so the proven-green first-50 window is untouched;
+        # tools/check_oracles.py verifies them with the driver's exact check.
+        "bm25_topk": wrap(q_bm25_topk),
     }
 
 
@@ -2342,6 +2369,47 @@ def oracle_sql() -> dict[str, str]:
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
                    cast(sum(cast(round(value * 100) as bigint)) as bigint) AS value_cents
             FROM x GROUP BY 1, 2
+        """,
+        # rational-idf BM25 (operators/retrieval.py): every factor is an
+        # exact BIGINT and both divisions are integer divisions, so the
+        # score replays bit-identically; qt comes from the SAME Python
+        # constant the Spark query builds its DataFrame from
+        "bm25_topk": f"""
+            WITH sized AS (
+              SELECT doc_id,
+                     cast(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                                          x -> x <> '')) AS BIGINT) AS dl,
+                     list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), stats AS (
+              SELECT cast(count(*) AS BIGINT) AS n_corpus,
+                     cast(sum(dl) AS BIGINT) AS t_corpus FROM sized
+            ), qt(q_id, w) AS (
+              VALUES {", ".join(f"({q}, '{w}')" for q, w in _BM25_TERMS)}
+            ), terms AS (SELECT DISTINCT w FROM qt),
+            tf AS (
+              SELECT doc_id, dl, w, cast(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, dl, unnest(ws) AS w FROM sized) u
+              JOIN terms USING (w)
+              GROUP BY 1, 2, 3
+            ), dfreq AS (
+              SELECT w, cast(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+            ), ts AS (
+              SELECT tf.doc_id, tf.w,
+                     ((1000 * (2*s.n_corpus - 2*d.df + 1)) // (2*d.df + 1))
+                     * ((1000 * 22 * s.t_corpus * tf.tf)
+                        // (10*s.t_corpus*tf.tf + 3*s.t_corpus + 9*tf.dl*s.n_corpus)) AS sc
+              FROM tf JOIN dfreq d USING (w), stats s
+            ), scores AS (
+              SELECT q.q_id, t.doc_id, cast(sum(t.sc) AS BIGINT) AS score
+              FROM ts t JOIN qt q USING (w) GROUP BY 1, 2
+            )
+            SELECT q_id, doc_id, score, rn::INT AS rn FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+              FROM scores
+            ) WHERE rn <= 5
         """,
     }
 

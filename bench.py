@@ -65,6 +65,7 @@ HEADLINE = [
     "bbox_join",
     "geohash_counts",
     "tile_pyramid",
+    "bm25_topk",
 ]
 
 

@@ -1,0 +1,113 @@
+"""Full-text BM25 top-k retrieval — integer-exact, pure built-in Columns.
+
+A training-data pipeline needs corpus-level retrieval (nearest documents to
+a query) alongside embedding ANN; classic BM25 is the lexical baseline. The
+standard formulation uses ``ln`` in the idf term, which is NOT reproducible
+across engines (libm vs JVM log differ in ULPs and no SQL oracle could
+replay it bit-exactly — see CLAUDE.md's oracle rules). This module
+implements **rational-idf BM25**: the idf is the log's *argument* kept as
+an exact rational, every factor is scaled to integers, and both divisions
+are integer divisions — so Spark and any SQL engine produce bit-identical
+BIGINT scores, and the ranking is deterministic (score desc, doc_id asc).
+
+Scoring (k1 = 6/5, b = 3/4 — the standard 1.2/0.75 as exact rationals):
+
+    idf_milli(w)     = (1000 * (2N - 2·df + 1)) div (2·df + 1)
+    tnorm_milli(d,w) = (1000 * 22 * T * tf) div (10*T*tf + 3*T + 9*dl*N)
+    score(q,d)       = Σ_{w ∈ q} idf_milli(w) * tnorm_milli(d,w)
+
+where N = corpus doc count, T = Σ doc lengths (so avgdl = T/N is never
+materialized as a float: tf_norm = tf·(k1+1) / (tf + k1(1−b) + k1·b·dl/avgdl)
+multiplied through by 10·T gives the all-integer form above). With BIGINT
+arithmetic this holds to ~10^8 docs × 10^3 tokens without overflow.
+
+Scale notes (100 TB): one scan of the corpus; the explode is pruned to
+query terms by a broadcast join BEFORE the (doc, term) aggregation, so the
+only large shuffle carries (doc_id, term, tf) rows for matching terms only;
+corpus stats ride a broadcast 1-row crossJoin (no driver collect); top-k is
+one window over ≤ |terms|·matching-docs rows partitioned by query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Java \s ≡ [ \t\n\x0B\f\r] — the RE2-safe class the DuckDB oracle mirrors
+_WS = r"\s+"
+
+
+def _words(text_col):
+    return F.filter(F.split(text_col, _WS), lambda x: x != F.lit(""))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q_id: str = "q_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Top-``k`` documents per query under rational-idf BM25.
+
+    ``query_terms`` is a (q_id, term) table — small by construction (it is
+    broadcast twice: to prune postings and to fan term scores out to
+    queries). Returns (q_id, doc_id, score, rn) with BIGINT score and
+    rn = 1..k ranked by (score desc, doc_id asc). Documents matching no
+    query term never appear (score 0 rows are not emitted), matching the
+    oracle's inner-join semantics.
+    """
+    terms = query_terms.select(F.col(term_col).alias("w")).distinct()
+    sized = docs.select(
+        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("ws")
+    ).select("doc_id", F.size("ws").cast("bigint").alias("dl"), "ws")
+
+    # corpus stats as a broadcast 1-row dim — no driver round-trip
+    stats = sized.agg(
+        F.count("*").cast("bigint").alias("n_corpus"),
+        F.sum("dl").cast("bigint").alias("t_corpus"),
+    )
+
+    # postings pruned to query terms BEFORE the (doc, term) aggregation:
+    # the broadcast hash join drops non-query words at the scan stage, so
+    # the one real shuffle carries only matching (doc_id, w) keys
+    tf = (
+        sized.select("doc_id", "dl", F.explode("ws").alias("w"))
+        .join(F.broadcast(terms), "w")
+        .groupBy("doc_id", "dl", "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
+
+    term_scores = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "w",
+            (
+                F.expr("(1000 * (2*n_corpus - 2*df + 1)) div (2*df + 1)")
+                * F.expr(
+                    "(1000 * 22 * t_corpus * tf)"
+                    " div (10*t_corpus*tf + 3*t_corpus + 9*dl*n_corpus)"
+                )
+            ).alias("sc"),
+        )
+    )
+    scores = (
+        term_scores.join(
+            F.broadcast(query_terms.select(q_id, F.col(term_col).alias("w"))), "w"
+        )
+        .groupBy(q_id, "doc_id")
+        .agg(F.sum("sc").cast("bigint").alias("score"))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(q_id, "doc_id", "score", F.col("rn").cast("int").alias("rn"))
+    )

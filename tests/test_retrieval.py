@@ -1,0 +1,85 @@
+"""BM25 retrieval: integer-exact scoring vs an independent pure-Python
+replica, ranking semantics, and plan shape (postings pruned by broadcast
+before the aggregation shuffle)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from geojson_spark.operators.retrieval import bm25_topk
+
+DOCS = [
+    (1, "red fish blue fish"),
+    (2, "red red red herring"),
+    (3, "blue whale"),
+    (4, "green  eggs and ham"),  # double space: empty tokens must drop
+    (5, "fish and chips and fish"),
+    (6, "completely unrelated words here"),
+]
+QUERY_TERMS = [(0, "red"), (0, "fish"), (1, "blue"), (1, "whale"), (2, "zzz")]
+
+
+def _reference_bm25(docs, query_terms, k=5):
+    """Independent replica with Python ints (arbitrary precision)."""
+    words = {d: t.split() for d, t in docs}
+    dl = {d: len(w) for d, w in words.items()}
+    n, t_corpus = len(words), sum(dl.values())
+    tf = {d: Counter(w) for d, w in words.items()}
+    terms = {w for _, w in query_terms}
+    df = {w: sum(1 for d in words if tf[d][w] > 0) for w in terms}
+    out = []
+    for q in sorted({q for q, _ in query_terms}):
+        scores = {}
+        for qq, w in query_terms:
+            if qq != q or df.get(w, 0) == 0:
+                continue
+            idf = (1000 * (2 * n - 2 * df[w] + 1)) // (2 * df[w] + 1)
+            for d in words:
+                f_ = tf[d][w]
+                if f_ == 0:
+                    continue
+                tn = (1000 * 22 * t_corpus * f_) // (
+                    10 * t_corpus * f_ + 3 * t_corpus + 9 * dl[d] * n
+                )
+                scores[d] = scores.get(d, 0) + idf * tn
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+        out.extend((q, d, s, i + 1) for i, (d, s) in enumerate(ranked))
+    return sorted(out)
+
+
+def test_bm25_matches_reference(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qt = spark.createDataFrame(QUERY_TERMS, "q_id int, term string")
+    got = sorted(tuple(r) for r in bm25_topk(docs, qt, k=5).collect())
+    assert got == _reference_bm25(DOCS, QUERY_TERMS)
+    # query 2's only term matches nothing → no rows for it
+    assert not [r for r in got if r[0] == 2]
+    # rare term outranks common: doc 3 ("blue whale") tops query 1 because
+    # whale's idf dwarfs blue's
+    q1_top = next(r for r in got if r[0] == 1 and r[3] == 1)
+    assert q1_top[1] == 3
+
+
+def test_bm25_rank_is_dense_and_bounded(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qt = spark.createDataFrame(QUERY_TERMS, "q_id int, term string")
+    rows = bm25_topk(docs, qt, k=2).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r.rn)
+    for q, rns in by_q.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
+        assert len(rns) <= 2
+
+
+def test_bm25_plan_prunes_postings_before_shuffle(spark):
+    """The explode→terms join must be a BroadcastHashJoin BELOW the
+    (doc, term) HashAggregate, so non-query words never reach a shuffle."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qt = spark.createDataFrame(QUERY_TERMS, "q_id int, term string")
+    plan = bm25_topk(docs, qt, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere: every join side is broadcast-sized
+    assert "SortMergeJoin" not in plan
