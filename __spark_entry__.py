@@ -1686,6 +1686,17 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qt, k=5)
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition signals: duplicate word/bigram/
+    trigram fractions (integer millis) + top-word frequency — one
+    zero-shuffle Project, no Exchange anywhere (see
+    functions/spark_funcs.repetition_stats)."""
+    from geojson_spark.functions.spark_funcs import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: derived points → S2 PIP join vs nation rects → per-polygon
     count + bbox (parse → cell assign → cover explode → equi-join →
@@ -1776,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only pair so the proven-green first-50 window is untouched;
         # tools/check_oracles.py verifies them with the driver's exact check.
         "bm25_topk": wrap(q_bm25_topk),
+        "repetition_stats": wrap(q_repetition_stats),
     }
 
 
@@ -2410,6 +2422,48 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
               FROM scores
             ) WHERE rn <= 5
+        """,
+        # repetition signals: n-grams via list_transform over index series
+        # (cheap in DuckDB — no Catalyst-inlining hazard there); the milli
+        # ratios use BIGINT // which equals Spark's floor(double-div) for
+        # these ranges (see functions/spark_funcs.repetition_stats)
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), b AS (
+              SELECT doc_id, ws,
+                     list_transform(generate_series(1, len(ws)-1),
+                                    i -> ws[i] || ' ' || ws[i+1]) AS bg,
+                     list_transform(generate_series(1, len(ws)-2),
+                                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tg
+              FROM w
+            ), tops AS (
+              SELECT doc_id, cast(max(c) AS BIGINT) AS top_word_freq FROM (
+                SELECT doc_id, wd, count(*) AS c
+                FROM (SELECT doc_id, unnest(ws) AS wd FROM w) GROUP BY 1, 2
+              ) GROUP BY 1
+            )
+            SELECT b.doc_id,
+                   cast(len(ws) AS BIGINT) AS n_words,
+                   cast(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+                   coalesce(t.top_word_freq, 0) AS top_word_freq,
+                   cast(len(bg) AS BIGINT) AS n_bigrams,
+                   cast(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams,
+                   cast(len(tg) AS BIGINT) AS n_trigrams,
+                   cast(len(list_distinct(tg)) AS BIGINT) AS n_distinct_trigrams,
+                   CASE WHEN len(ws) > 0
+                        THEN (1000*(len(ws) - len(list_distinct(ws)))) // len(ws)
+                        ELSE 0 END AS dup_word_milli,
+                   CASE WHEN len(bg) > 0
+                        THEN (1000*(len(bg) - len(list_distinct(bg)))) // len(bg)
+                        ELSE 0 END AS dup_bigram_milli,
+                   CASE WHEN len(tg) > 0
+                        THEN (1000*(len(tg) - len(list_distinct(tg)))) // len(tg)
+                        ELSE 0 END AS dup_trigram_milli
+            FROM b LEFT JOIN tops t USING (doc_id)
         """,
     }
 

@@ -66,6 +66,7 @@ HEADLINE = [
     "geohash_counts",
     "tile_pyramid",
     "bm25_topk",
+    "repetition_stats",
 ]
 
 

@@ -251,3 +251,79 @@ def geohash_parent(cell: Column, precision: int, parent_precision: int) -> Colum
     the geohash prefix property makes this the tile/rollup key."""
     drop = 5 * (precision - parent_precision)
     return F.shiftrightunsigned(cell, drop)
+
+
+def repetition_stats(df, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document repetition signals (Gopher-style quality filters):
+    duplicate word/bigram/trigram fractions and the top word's frequency.
+
+    Everything is ONE zero-shuffle Project of built-in Columns — at the
+    100 TB design point this is a single scan with no Exchange at all:
+
+    - n-grams come from ``zip_with`` over shifted ``slice``s of the word
+      array (never transform+element_at, which re-evaluates the split per
+      element — see the Catalyst-inlining note in CLAUDE.md); repeated
+      top-level references to the same split tree are collapsed by Spark's
+      whole-stage-codegen subexpression elimination.
+    - the top word frequency is an O(n) ``F.aggregate`` run-length fold
+      over ``array_sort(words)`` — no explode, no per-doc groupBy.
+    - dup ratios are integer millis (``1000·(n−distinct) div n``), exactly
+      reproducible by a SQL oracle.
+    """
+    t = F.col(text_col)
+    ws = F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+    n = F.size(ws).cast("bigint")
+    big = F.zip_with(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    tri = F.zip_with(
+        F.slice(big, 1, F.greatest(F.size(ws) - 2, F.lit(0))),
+        F.slice(ws, 3, F.greatest(F.size(ws) - 2, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    zero = F.lit(0).cast("bigint")
+    one = F.lit(1).cast("bigint")
+    top_freq = F.aggregate(
+        F.array_sort(ws),
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + one).otherwise(one).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + one).otherwise(one),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+    def dup_milli(arr):
+        # floor((1000·(tot−dis))/tot) equals exact integer division here:
+        # both operands are exact int64 ≤ 2^53, the true ratio's distance
+        # to any integer is ≥ 1/tot ≫ double ULP at 1000, so the rounded
+        # quotient can never cross an integer boundary. The oracle uses
+        # BIGINT // BIGINT — same value by the same argument.
+        tot = F.size(arr).cast("bigint")
+        dis = F.size(F.array_distinct(arr)).cast("bigint")
+        return F.when(
+            tot > 0,
+            F.floor((F.lit(1000).cast("bigint") * (tot - dis)) / tot).cast("bigint"),
+        ).otherwise(zero)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("bigint").alias("n_distinct_words"),
+        top_freq.alias("top_word_freq"),
+        F.size(big).cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct(big)).cast("bigint").alias("n_distinct_bigrams"),
+        F.size(tri).cast("bigint").alias("n_trigrams"),
+        F.size(F.array_distinct(tri)).cast("bigint").alias("n_distinct_trigrams"),
+        dup_milli(ws).alias("dup_word_milli"),
+        dup_milli(big).alias("dup_bigram_milli"),
+        dup_milli(tri).alias("dup_trigram_milli"),
+    )

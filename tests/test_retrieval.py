@@ -83,3 +83,40 @@ def test_bm25_plan_prunes_postings_before_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     # no sort-merge join anywhere: every join side is broadcast-sized
     assert "SortMergeJoin" not in plan
+
+
+def test_repetition_stats_hand_checked(spark):
+    from geojson_spark.functions.spark_funcs import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # words: 4/2 distinct, top=3; bigrams: a a, a a, a b → 3/2; tri: a a a, a a b → 2/2
+            (2, "x"),                # 1 word, no bigrams/trigrams
+            (3, ""),                 # empty → all zero
+            (4, "p q p q p q"),      # period-2: bigrams 5/2 distinct, trigrams 4/2
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert (r1.n_words, r1.n_distinct_words, r1.top_word_freq) == (4, 2, 3)
+    assert (r1.n_bigrams, r1.n_distinct_bigrams) == (3, 2)
+    assert (r1.n_trigrams, r1.n_distinct_trigrams) == (2, 2)
+    assert r1.dup_word_milli == 1000 * 2 // 4 and r1.dup_bigram_milli == 1000 * 1 // 3
+    assert r1.dup_trigram_milli == 0
+    r2 = rows[2]
+    assert (r2.n_words, r2.top_word_freq, r2.n_bigrams, r2.n_trigrams) == (1, 1, 0, 0)
+    r3 = rows[3]
+    assert (r3.n_words, r3.top_word_freq, r3.dup_word_milli) == (0, 0, 0)
+    r4 = rows[4]
+    assert (r4.n_bigrams, r4.n_distinct_bigrams) == (5, 2)
+    assert (r4.n_trigrams, r4.n_distinct_trigrams) == (4, 2)
+    assert r4.dup_word_milli == 1000 * 4 // 6
+
+
+def test_repetition_stats_is_zero_shuffle(spark):
+    from geojson_spark.functions.spark_funcs import repetition_stats
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
