@@ -1697,6 +1697,26 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs)
 
 
+def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-radius spatial join (all points within 3° of each query) —
+    cell-ring explode + equi-join + exact squared-degree refine; every
+    pair emitted exactly once (a point lies in one cell), so no dedup
+    shuffle. The oracle is the plain theta join with the identical IEEE
+    dist² arithmetic."""
+    from geojson_spark.operators.joins import distance_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(F.col("c_custkey") < 20)
+    qlon, qlat = derived_lonlat(F.col("c_custkey").cast("bigint"))
+    queries = cust.select(
+        F.col("c_custkey").cast("bigint").alias("q_id"), qlon.alias("q_lon"), qlat.alias("q_lat")
+    )
+    pts = _lineitem_points(spark, sf_dir).select(
+        "p_id", F.col("lon").alias("p_lon"), F.col("lat").alias("p_lat")
+    )
+    out = distance_join(queries, pts, radius=3.0, metric="euclidean_deg2")
+    return out.select("q_id", "p_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: derived points → S2 PIP join vs nation rects → per-polygon
     count + bbox (parse → cell assign → cover explode → equi-join →
@@ -1788,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_oracles.py verifies them with the driver's exact check.
         "bm25_topk": wrap(q_bm25_topk),
         "repetition_stats": wrap(q_repetition_stats),
+        "distance_join": wrap(q_distance_join),
     }
 
 
@@ -2464,6 +2485,18 @@ def oracle_sql() -> dict[str, str]:
                         THEN (1000*(len(tg) - len(list_distinct(tg)))) // len(tg)
                         ELSE 0 END AS dup_trigram_milli
             FROM b LEFT JOIN tops t USING (doc_id)
+        """,
+        # within-radius join: the oracle is the naive theta join with the
+        # SAME squared-degree IEEE arithmetic the engine's refine uses
+        "distance_join": f"""
+            WITH q AS (
+              SELECT c_custkey::BIGINT AS q_id, {clon} AS q_lon, {clat} AS q_lat
+              FROM customer WHERE c_custkey < 20
+            )
+            SELECT q.q_id, p.p_id
+            FROM q JOIN {pts} p
+              ON (p.lon - q.q_lon)*(p.lon - q.q_lon)
+               + (p.lat - q.q_lat)*(p.lat - q.q_lat) <= 9.0
         """,
     }
 

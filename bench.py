@@ -67,6 +67,7 @@ HEADLINE = [
     "tile_pyramid",
     "bm25_topk",
     "repetition_stats",
+    "distance_join",
 ]
 
 

@@ -530,6 +530,100 @@ def knn_join_hex(
     )
 
 
+def distance_join(
+    queries: DataFrame,
+    points: DataFrame,
+    radius: float,
+    *,
+    cpd: int = 8,
+    metric: str = "euclidean_deg2",
+    q_id: str = "q_id",
+    p_id: str = "p_id",
+    q_lon: str = "q_lon",
+    q_lat: str = "q_lat",
+    p_lon: str = "p_lon",
+    p_lat: str = "p_lat",
+    max_ring: int = 32,
+) -> DataFrame:
+    """Within-distance (radius) join: every (query, point) pair with
+    distance ≤ ``radius`` — degrees for ``euclidean_deg2`` (compared as
+    dist² ≤ radius², only IEEE +/−/× so a SQL oracle replays it
+    bit-exactly), km for ``haversine``.
+
+    Plan shape: points get their grid cell; queries explode to the
+    Chebyshev cell ring that provably contains every point within the
+    radius, equi-join on cell, exact predicate refines. Each point lies in
+    exactly ONE cell, so a pair is emitted exactly once — no dedup shuffle.
+
+    Completeness: with cells of 1/cpd degrees, |Δlon| ≤ dlon implies the
+    cell x-indices differ by ≤ floor(dlon·cpd)+1 ≤ ceil(dlon·cpd)+1 — the
+    ring radius used (same for lat). For haversine the lon radius scales by
+    1/cos(lat_worst) (0.999 guards the sin(x)≈x bound, as in knn_join) and
+    is a per-query Column — ``sequence`` takes Column bounds, so dense
+    equatorial queries don't pay a polar query's fan-out. Queries whose
+    ring could cross the antimeridian/pole, or whose lon fan-out exceeds
+    ``max_ring`` cells, are re-solved by a brute-force residual (exactly
+    knn_join's pattern; empty for equatorial workloads).
+
+    Scale: one equi-join shuffle; fan-out = ring² cells per query; AQE
+    skew-join splits dense cells. No UDF anywhere.
+    """
+    p = points.select(
+        p_id, p_lon, p_lat, grid_cell(F.col(p_lon), F.col(p_lat), cpd).alias("cell_id")
+    )
+    q = queries.select(
+        q_id,
+        q_lon,
+        q_lat,
+        F.floor((F.col(q_lon) + 180.0) * cpd).cast("bigint").alias("qgx"),
+        F.floor((F.col(q_lat) + 90.0) * cpd).cast("bigint").alias("qgy"),
+    )
+    dxc = F.col(p_lon) - F.col(q_lon)
+    dyc = F.col(p_lat) - F.col(q_lat)
+    if metric == "euclidean_deg2":
+        ring = int(np.ceil(radius * cpd)) + 1
+        rx = F.lit(ring).cast("bigint")
+        ry = F.lit(ring).cast("bigint")
+        pred = (dxc * dxc + dyc * dyc) <= F.lit(float(radius) * float(radius))
+        safe = F.lit(True)  # planar metric: no wraparound pairs exist
+    elif metric == "haversine":
+        dlat_deg = radius / (0.999 * KM_PER_DEG_LAT)
+        ry = F.lit(int(np.ceil(dlat_deg * cpd)) + 1).cast("bigint")
+        lat_worst = F.least(F.lit(89.9), F.abs(F.col(q_lat)) + F.lit(dlat_deg))
+        dlon_deg = F.lit(radius / (0.999 * KM_PER_DEG_LAT)) / F.cos(F.radians(lat_worst))
+        rx = (F.ceil(dlon_deg * cpd) + 1).cast("bigint")
+        pred = haversine_km(F.col(q_lon), F.col(q_lat), F.col(p_lon), F.col(p_lat)) <= F.lit(
+            float(radius)
+        )
+        cell_deg = 1.0 / cpd
+        safe = (
+            (rx <= max_ring)
+            & (F.abs(F.col(q_lon)) <= 180.0 - (dlon_deg + cell_deg))
+            & (F.abs(F.col(q_lat)) <= 90.0 - (dlat_deg + cell_deg))
+        )
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+
+    ringed = q.where(safe).select(
+        q_id, q_lon, q_lat, "qgx", "qgy", F.explode(F.sequence(-rx, rx)).alias("dx")
+    ).select(q_id, q_lon, q_lat, "qgx", "qgy", "dx", F.explode(F.sequence(-ry, ry)).alias("dy"))
+    cells = ringed.select(
+        q_id,
+        q_lon,
+        q_lat,
+        ((F.col("qgx") + F.col("dx")) * GRID_K + (F.col("qgy") + F.col("dy"))).alias("cell_id"),
+    )
+    near = cells.join(p, "cell_id").where(pred)
+
+    out_cols = [q_id, q_lon, q_lat, p_id, p_lon, p_lat]
+    result = near.select(*out_cols)
+    if metric == "haversine":
+        residual = q.where(~safe).select(q_id, q_lon, q_lat)
+        brute = residual.crossJoin(p.drop("cell_id")).where(pred).select(*out_cols)
+        result = result.unionByName(brute)
+    return result
+
+
 def tile_join(
     points_with_cell: DataFrame,
     tiles: DataFrame,
