@@ -141,3 +141,124 @@ def audio_features(
         extract,
         schema=f"{id_col} string, frame_no long, rms double, zero_crossings long, peak double",
     )
+
+
+def resize_images(
+    images: DataFrame, out_w: int, out_h: int, *, out_fmt: str = "raw"
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode: a REAL image
+    transform producing a new image table (the standard pre-training
+    normalization step). Output schema matches the input-hint table
+    (image_id, bytes, w, h, fmt, phash) so resized tables compose with
+    every downstream operator (pHash dedup, tiling, invariants).
+
+    Scale: mapInPandas keeps the binary column in Arrow buffers; each
+    output row is O(out_w·out_h), so the operator SHRINKS data for
+    thumbnailing — the common case — and the scan prunes all other
+    columns. No shuffle."""
+    from geojson_spark.sources.images import encode_image
+
+    def work(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode_any(r.bytes, r.fmt, r.w, r.h)
+                rp = resize_nearest(px, r.w, r.h, out_w, out_h)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": encode_image(rp, out_fmt),
+                        "w": out_w,
+                        "h": out_h,
+                        "fmt": out_fmt,
+                        "phash": average_phash(rp, out_w, out_h),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "phash"]
+            )
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        work, schema="image_id string, bytes binary, w int, h int, fmt string, phash long"
+    )
+
+
+def tile_images(
+    images: DataFrame, tile_w: int = 32, tile_h: int = 32, *, out_fmt: str = "raw"
+) -> DataFrame:
+    """Split every image into a (tile_x, tile_y) grid of sub-images — the
+    raster mirror of the vector tile pyramid. Edge tiles are clipped to
+    the image bounds (their w/h carry the actual size), so every pixel
+    lands in exactly one tile and a GROUP BY (image_id) over tile pixel
+    counts reconstructs w·h exactly (asserted in tests).
+
+    One row per tile with a recomputed per-tile pHash, so tile outputs
+    feed the SAME hamming-join dedup as whole images (e.g. finding images
+    that share a crop). Fan-out = ceil(w/tile_w)·ceil(h/tile_h); no
+    shuffle in the operator itself."""
+    from geojson_spark.sources.images import encode_image
+
+    def work(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_any(r.bytes, r.fmt, r.w, r.h).reshape(r.h, r.w, 3)
+                for ty in range(0, r.h, tile_h):
+                    for tx in range(0, r.w, tile_w):
+                        t = img[ty : ty + tile_h, tx : tx + tile_w]
+                        th, tw = t.shape[0], t.shape[1]
+                        flat = np.ascontiguousarray(t).reshape(-1)
+                        rows.append(
+                            {
+                                "image_id": r.image_id,
+                                "tile_x": tx // tile_w,
+                                "tile_y": ty // tile_h,
+                                "bytes": encode_image(flat, out_fmt),
+                                "w": tw,
+                                "h": th,
+                                "fmt": out_fmt,
+                                "phash": average_phash(flat, tw, th),
+                            }
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "tile_x", "tile_y", "bytes", "w", "h", "fmt", "phash"],
+            )
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        work,
+        schema=(
+            "image_id string, tile_x int, tile_y int, bytes binary, "
+            "w int, h int, fmt string, phash long"
+        ),
+    )
+
+
+def luma_histogram(images: DataFrame, bins: int = 16) -> DataFrame:
+    """Integer-exact luma histogram + brightness per image (the cheap
+    exposure/quality filters an image-curation pipeline gates on).
+
+    Luma uses the BT.601 weights as EXACT integer millis —
+    ``(299·R + 587·G + 114·B) div 1000`` — and ``bin = luma·bins div 256``,
+    so every output is a deterministic integer (reproducible anywhere,
+    no float luck). brightness_milli = 1000·Σluma div (n_px·255)."""
+
+    def work(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_any(r.bytes, r.fmt, r.w, r.h).reshape(-1, 3).astype(np.int64)
+                luma = (299 * img[:, 0] + 587 * img[:, 1] + 114 * img[:, 2]) // 1000
+                hist = np.bincount(luma * bins // 256, minlength=bins)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "hist": hist.astype(np.int64).tolist(),
+                        "brightness_milli": int(1000 * int(luma.sum()) // (luma.size * 255)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "hist", "brightness_milli"])
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        work, schema="image_id string, hist array<long>, brightness_milli long"
+    )

@@ -363,3 +363,55 @@ def test_checkpoint_lock_survives_killed_owner(tmp_path):
     ck.commit_bucket(1, {"stage": "s1"})  # must not spin 30s then TimeoutError
     assert _time.time() - t0 < 5.0
     assert ck.completed_buckets("s1") == {0, 1}
+
+
+def test_image_resize_tile_histogram(spark):
+    import numpy as np
+
+    from geojson_spark.operators.multimodal import (
+        luma_histogram,
+        resize_images,
+        tile_images,
+    )
+    from geojson_spark.sources.images import decode_image, generate_images
+
+    imgs = generate_images(spark, 30)
+    meta = {r.image_id: r for r in imgs.select("image_id", "bytes", "fmt", "w", "h").collect()}
+
+    # resize: output decodes to exactly the NumPy nearest-neighbor answer
+    small = resize_images(imgs, 16, 12).collect()
+    assert len(small) == 30
+    for r in small[:5]:
+        src = meta[r.image_id]
+        px = decode_image(bytes(src.bytes), src.fmt, src.w, src.h).reshape(src.h, src.w, 3)
+        yi = (np.arange(12) * src.h) // 12
+        xi = (np.arange(16) * src.w) // 16
+        want = px[yi][:, xi].reshape(-1)
+        got = decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
+        assert (r.w, r.h) == (16, 12) and np.array_equal(got, want)
+
+    # tiles: clipped edges, every pixel in exactly one tile
+    tiles = tile_images(imgs, tile_w=20, tile_h=20).collect()
+    area = {}
+    for t in tiles:
+        area[t.image_id] = area.get(t.image_id, 0) + t.w * t.h
+        assert 1 <= t.w <= 20 and 1 <= t.h <= 20
+    for iid, r in meta.items():
+        assert area[iid] == r.w * r.h
+    # a corner tile's pixels equal the source crop
+    t0 = next(t for t in tiles if t.tile_x == 0 and t.tile_y == 0)
+    src = meta[t0.image_id]
+    px = decode_image(bytes(src.bytes), src.fmt, src.w, src.h).reshape(src.h, src.w, 3)
+    got = decode_image(bytes(t0.bytes), t0.fmt, t0.w, t0.h).reshape(t0.h, t0.w, 3)
+    assert np.array_equal(got, px[: t0.h, : t0.w])
+
+    # histogram: integer-exact vs direct NumPy, bins sum to n_pixels
+    hists = {r.image_id: r for r in luma_histogram(imgs, bins=16).collect()}
+    for iid, src in list(meta.items())[:5]:
+        px = decode_image(bytes(src.bytes), src.fmt, src.w, src.h).reshape(-1, 3).astype(np.int64)
+        luma = (299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]) // 1000
+        want = np.bincount(luma * 16 // 256, minlength=16)
+        r = hists[iid]
+        assert list(r.hist) == want.tolist()
+        assert sum(r.hist) == src.w * src.h
+        assert r.brightness_milli == 1000 * int(luma.sum()) // (luma.size * 255)
