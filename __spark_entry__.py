@@ -1246,67 +1246,70 @@ def q_s2_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window functions: top-3 orders by price per customer segment."""
+def q_topk_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three plan families in one checked result (folded from the former
+    window_topn + sort_limit + set_ops queries so the round-3 additions fit
+    inside the driver's 50-query oracle window): (a) per-segment top-3
+    orders via a ranking window, (b) global TopK via sort+limit, (c)
+    EXCEPT/INTERSECT/UNION set algebra over customer keys. Legs are tagged
+    by `src` and unioned on a common (src, seg, id, price_cents, rn)
+    schema; each leg's physical plan is unchanged from the standalone
+    queries (window rank / TakeOrderedAndProject / set-op exchanges)."""
     from pyspark.sql.window import Window
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
-    return (
-        j.withColumn("rn", F.row_number().over(w))
+    topn = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select(
-            "c_mktsegment",
-            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.lit("topn").alias("src"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderkey").cast("bigint").alias("id"),
             F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
             F.col("rn").cast("bigint").alias("rn"),
         )
     )
 
-
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping sets: ROLLUP(orderstatus, orderpriority) counts."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"))
+    sort_leg = (
+        li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("bigint").alias("id"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+        )
+        .orderBy(F.col("price_cents").desc(), F.col("id").asc())
+        .limit(100)
         .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
-            "n_orders",
+            F.lit("sort").alias("src"),
+            F.lit("").alias("seg"),
+            "id",
+            "price_cents",
+            F.lit(0).cast("bigint").alias("rn"),
         )
     )
 
-
-def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations: customers with orders EXCEPT high-balance ones,
-    INTERSECT low-key ones, UNION a fixed slice — exercised as one query."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     with_orders = orders.select(F.col("o_custkey").alias("k")).distinct()
     high_bal = cust.where(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
     low_keys = cust.where(F.col("c_custkey") < 500).select(F.col("c_custkey").alias("k"))
-    out = with_orders.exceptAll(high_bal).intersect(low_keys).union(
-        cust.where(F.col("c_custkey") < 10).select(F.col("c_custkey").alias("k"))
-    ).distinct()
-    return out.select(F.col("k").cast("bigint").alias("custkey"))
-
-
-def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global sort + limit with deterministic tie-break (TopK plan)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
-        li.select(
-            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("bigint").alias("p_id"),
-            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+    setop = (
+        with_orders.exceptAll(high_bal)
+        .intersect(low_keys)
+        .union(cust.where(F.col("c_custkey") < 10).select(F.col("c_custkey").alias("k")))
+        .distinct()
+        .select(
+            F.lit("setop").alias("src"),
+            F.lit("").alias("seg"),
+            F.col("k").cast("bigint").alias("id"),
+            F.lit(0).cast("bigint").alias("price_cents"),
+            F.lit(0).cast("bigint").alias("rn"),
         )
-        .orderBy(F.col("price_cents").desc(), F.col("p_id").asc())
-        .limit(100)
     )
+    return topn.unionByName(sort_leg).unionByName(setop)
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1423,21 +1426,27 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping sets: CUBE(orderstatus, orderpriority) counts + cents."""
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP and CUBE over (orderstatus, orderpriority),
+    unioned with a `src` marker (folded from the former rollup + cube
+    queries so the round-3 additions fit inside the driver's 50-query
+    oracle window). Both Expand-based plans are exercised unchanged."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return (
-        orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(
+
+    def agg(grouped, src: str) -> DataFrame:
+        return grouped.agg(
             F.count("*").alias("n_orders"),
             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("price_cents"),
-        )
-        .select(
+        ).select(
+            F.lit(src).alias("src"),
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
             "n_orders",
             "price_cents",
         )
+
+    return agg(orders.rollup("o_orderstatus", "o_orderpriority"), "rollup").unionByName(
+        agg(orders.cube("o_orderstatus", "o_orderpriority"), "cube")
     )
 
 
@@ -1776,17 +1785,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": wrap(q_minhash_near_dups),
         "simhash_near_dups": wrap(q_simhash_near_dups),
         "hex_cell_counts": wrap(q_hex_cell_counts),
-        "window_topn": wrap(q_window_topn),
-        "rollup": wrap(q_rollup),
-        "set_ops": wrap(q_set_ops),
-        "sort_limit": wrap(q_sort_limit),
+        "topk_sets": wrap(q_topk_sets),
+        "grouping_sets": wrap(q_grouping_sets),
         "pricing_summary": wrap(q_pricing_summary),
         "shingle_jaccard": wrap(q_shingle_jaccard),
         "embedding_near_dups": wrap(q_embedding_near_dups),
         "asof_join": wrap(q_asof_join),
         "range_join": wrap(q_range_join),
         "sessionize": wrap(q_sessionize),
-        "cube": wrap(q_cube),
         "shipping_priority": wrap(q_shipping_priority),
         "semi_anti": wrap(q_semi_anti),
         "corpus_filter": wrap(q_corpus_filter),
@@ -1796,6 +1802,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_extract": wrap(q_props_extract),
         "doc_fingerprint": wrap(q_doc_fingerprint),
         "s2_tile_rollup": wrap(q_s2_tile_rollup),
+        # --- round-3 additions, fully oracled; they fit inside the driver's
+        # 50-entry check window because window_topn+sort_limit+set_ops were
+        # folded into topk_sets and rollup+cube into grouping_sets above.
+        "bm25_topk": wrap(q_bm25_topk),
+        "repetition_stats": wrap(q_repetition_stats),
+        "distance_join": wrap(q_distance_join),
         # --- rows-only entries (no DuckDB oracle, by documented design) go
         # LAST: the driver checks the first 50 dict entries, and every slot
         # inside that window must carry a full oracle. compression_ratio
@@ -1803,12 +1815,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # construction; each has its invariant asserted in pytest instead.
         "compression_ratio": wrap(q_compression_ratio),
         "ann_ivf": wrap(q_ann_ivf),
-        # --- round-3 additions: fully oracled, but intentionally AFTER the
-        # rows-only pair so the proven-green first-50 window is untouched;
-        # tools/check_oracles.py verifies them with the driver's exact check.
-        "bm25_topk": wrap(q_bm25_topk),
-        "repetition_stats": wrap(q_repetition_stats),
-        "distance_join": wrap(q_distance_join),
     }
 
 
@@ -1994,7 +2000,7 @@ def oracle_sql() -> dict[str, str]:
                    'p' || n_nationkey AS name
             FROM nation
         """,
-        "window_topn": """
+        "topk_sets": """
             WITH j AS (
               SELECT c_mktsegment, o_orderkey::BIGINT AS o_orderkey,
                      cast(round(o_totalprice * 100) as bigint) AS price_cents,
@@ -2003,36 +2009,49 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_totalprice DESC, o_orderkey ASC
                      ) AS rn
               FROM orders JOIN customer ON o_custkey = c_custkey
-            )
-            SELECT c_mktsegment, o_orderkey, price_cents, rn::BIGINT AS rn
+            ),
+            wo AS (SELECT DISTINCT o_custkey AS k FROM orders),
+            hb AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+            lk AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 500)
+            SELECT 'topn' AS src, c_mktsegment AS seg, o_orderkey AS id,
+                   price_cents, rn::BIGINT AS rn
             FROM j WHERE rn <= 3
+            UNION ALL
+            SELECT 'sort', '', id, price_cents, 0::BIGINT FROM (
+              SELECT (l_orderkey * 10 + l_linenumber)::BIGINT AS id,
+                     cast(round(l_extendedprice * 100) as bigint) AS price_cents
+              FROM lineitem
+              ORDER BY price_cents DESC, id ASC
+              LIMIT 100
+            )
+            UNION ALL
+            SELECT 'setop', '', custkey::BIGINT, 0::BIGINT, 0::BIGINT FROM (
+              SELECT DISTINCT custkey FROM (
+                SELECT k AS custkey FROM (
+                  SELECT k FROM (SELECT k FROM wo EXCEPT ALL SELECT k FROM hb)
+                  INTERSECT SELECT k FROM lk
+                )
+                UNION ALL
+                SELECT c_custkey FROM customer WHERE c_custkey < 10
+              )
+            )
         """,
-        "rollup": """
-            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        "grouping_sets": """
+            SELECT 'rollup' AS src,
+                   coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
                    coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
-                   count(*) AS n_orders
+                   count(*) AS n_orders,
+                   cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS price_cents
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        """,
-        "set_ops": """
-            WITH wo AS (SELECT DISTINCT o_custkey AS k FROM orders),
-                 hb AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
-                 lk AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 500)
-            SELECT DISTINCT custkey FROM (
-              SELECT k AS custkey FROM (
-                SELECT k FROM (SELECT k FROM wo EXCEPT ALL SELECT k FROM hb)
-                INTERSECT SELECT k FROM lk
-              )
-              UNION ALL
-              SELECT c_custkey FROM customer WHERE c_custkey < 10
-            )
-        """,
-        "sort_limit": """
-            SELECT (l_orderkey * 10 + l_linenumber)::BIGINT AS p_id,
-                   cast(round(l_extendedprice * 100) as bigint) AS price_cents
-            FROM lineitem
-            ORDER BY price_cents DESC, p_id ASC
-            LIMIT 100
+            UNION ALL
+            SELECT 'cube',
+                   coalesce(o_orderstatus, 'ALL'),
+                   coalesce(o_orderpriority, 'ALL'),
+                   count(*),
+                   cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -2042,14 +2061,6 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
-        """,
-        "cube": """
-            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
-                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
-                   count(*) AS n_orders,
-                   cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS price_cents
-            FROM orders
-            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "shipping_priority": """
             SELECT o_orderkey::BIGINT AS o_orderkey,
