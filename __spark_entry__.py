@@ -168,6 +168,134 @@ def _sql_md5_u64(col: str) -> str:
     return "(" + " + ".join(f"{byte(b)}::HUGEINT * {1 << (8 * b)}" for b in range(8)) + ")"
 
 
+def _sql_xorshift(e: str, k: int) -> str:
+    """e XOR (e >> k) for a mod-2^64 HUGEINT expression (CLAUDE.md xor
+    rule: route through UBIGINT, which holds the full unsigned range)."""
+    return f"xor(({e})::UBIGINT, (({e}) // {1 << k})::UBIGINT)::HUGEINT"
+
+
+def _sql_splitmix64_stages(x: str) -> list[str]:
+    """splitmix64 of a mod-2^64 expression as three staged expressions
+    (each references the previous stage's column exactly, so CTE staging
+    keeps the SQL linear instead of 2^5 nested copies). Mirrors
+    sources/images.py::_splitmix64 — same public constants."""
+    s0 = f"(({x})::HUGEINT + 11400714819323198485::HUGEINT) % {_P64}"
+    s1 = _sql_mulmod(_sql_xorshift("x0", 30), "13787848793156543929::HUGEINT")
+    s2 = _sql_mulmod(_sql_xorshift("x1", 27), "10723151780598845931::HUGEINT")
+    return [s0, s1, s2]  # final value = _sql_xorshift('x2', 31)
+
+
+def _image_luma_oracle_sql(n: int = 192, bins: int = 16) -> str:
+    """DuckDB replica of q_image_luma with NO input table: regenerates the
+    deterministic image corpus arithmetically — splitmix64 (staged mod-2^64
+    HUGEINT) reproduces each image's (w, h, fmt) and its full pixel stream,
+    the q8 branch applies the same step-5 mid-bin quantization the lossy
+    codec stores, and integer BT.601 luma bins + brightness_milli match the
+    Spark side, which DECODES THE ACTUAL ENCODED BYTES (raw/rle/q8). A hash
+    match therefore proves the whole codec round-trip pixel-exact, not just
+    the histogram arithmetic."""
+    p0, p1, p2 = _sql_splitmix64_stages("t.j + t.i * 16777216")
+    h0, h1, h2 = _sql_splitmix64_stages("ids.i")
+    return f"""
+        WITH ids AS (SELECT unnest(range(0, {n})) AS i),
+        ph0 AS (SELECT i, {h0} AS x0 FROM ids),
+        ph1 AS (SELECT i, {h1} AS x1 FROM ph0),
+        ph2 AS (SELECT i, {h2} AS x2 FROM ph1),
+        dims AS (
+          SELECT i,
+                 cast(8 + ({_sql_xorshift("x2", 31)}) % 25 as bigint) AS w,
+                 cast(8 + (({_sql_xorshift("x2", 31)}) // 256) % 25 as bigint) AS h,
+                 CASE i % 3 WHEN 0 THEN 'raw' WHEN 1 THEN 'rle' ELSE 'q8' END AS fmt
+          FROM ph2
+        ),
+        idx AS (SELECT i, fmt, unnest(range(0, w * h * 3)) AS j FROM dims),
+        px0 AS (SELECT i, fmt, j, {p0} AS x0 FROM idx t),
+        px1 AS (SELECT i, fmt, j, {p1} AS x1 FROM px0),
+        px2 AS (SELECT i, fmt, j, {p2} AS x2 FROM px1),
+        px AS (
+          SELECT i, j,
+                 CASE WHEN fmt = 'q8'
+                      THEN least((({_sql_xorshift("x2", 31)}) % 256 // 5) * 5 + 2, 255)
+                      ELSE ({_sql_xorshift("x2", 31)}) % 256
+                 END AS p
+          FROM px2
+        ),
+        tri AS (
+          SELECT i, j // 3 AS pix,
+                 max(CASE WHEN j % 3 = 0 THEN p END) AS r,
+                 max(CASE WHEN j % 3 = 1 THEN p END) AS g,
+                 max(CASE WHEN j % 3 = 2 THEN p END) AS b
+          FROM px GROUP BY 1, 2
+        ),
+        luma AS (SELECT i, cast((299 * r + 587 * g + 114 * b) // 1000 as bigint) AS l FROM tri),
+        named AS (SELECT 'img' || lpad(i::VARCHAR, 12, '0') AS image_id, l FROM luma)
+        SELECT image_id, cast(l * {bins} // 256 as int) AS bin,
+               cast(count(*) as bigint) AS n_px
+        FROM named GROUP BY 1, 2
+        UNION ALL
+        SELECT image_id, -1 AS bin,
+               cast(1000 * sum(l) // (count(*) * 255) as bigint) AS n_px
+        FROM named GROUP BY 1
+    """
+
+
+def _image_cells_oracle_sql(n: int = 2000) -> str:
+    """DuckDB replica of q_image_cells with NO input table: regenerates
+    each image's derived (lon, lat) — four chained splitmix64 rounds in
+    staged mod-2^64 HUGEINT SQL reproduce sources/images.py::lonlat_for
+    exactly, including the 30% hotspot branch (integer compare), the
+    hotspot jitter, and the IEEE double arithmetic (x/1000.0 - 180.0 is
+    the same nearest-double in NumPy and DuckDB; hotspot centers embedded
+    via repr) — then assigns the same grid cell and counts. A hash match
+    proves the engine's distributed deterministic generation AND the
+    salted two-stage aggregation over the skewed (city-hotspot) cells."""
+    from geojson_spark.sources.images import HOTSPOTS
+
+    def sm_ctes(tag: str, src: str, in_expr: str, keep: list[str], out: str) -> str:
+        s0, s1, s2 = _sql_splitmix64_stages(in_expr)
+        k = (", ".join(keep) + ", ") if keep else ""
+        return (
+            f"{tag}0 AS (SELECT {k}{s0} AS x0 FROM {src}),\n"
+            f"{tag}1 AS (SELECT {k}{s1} AS x1 FROM {tag}0),\n"
+            f"{tag}2 AS (SELECT {k}{s2} AS x2 FROM {tag}1),\n"
+            f"{tag}f AS (SELECT {k}{_sql_xorshift('x2', 31)} AS {out} FROM {tag}2)"
+        )
+
+    lon0, lat0 = repr(HOTSPOTS[0][0]), repr(HOTSPOTS[0][1])
+    lon1, lat1 = repr(HOTSPOTS[1][0]), repr(HOTSPOTS[1][1])
+    lon2, lat2 = repr(HOTSPOTS[2][0]), repr(HOTSPOTS[2][1])
+    return f"""
+        WITH ids AS (SELECT unnest(range(0, {n})) AS i),
+        {sm_ctes("sa", "ids", "i", ["i"], "h1")},
+        {sm_ctes("sb", "saf", "h1", ["i", "h1"], "h2")},
+        {sm_ctes("sc", "sbf", "h2", ["i", "h1", "h2"], "h3")},
+        {sm_ctes("sd", "scf", "h3", ["i", "h1", "h2", "h3"], "h4")},
+        pos AS (
+          SELECT i,
+                 (h1 % 360000)::DOUBLE / 1000.0 - 180.0 AS base_lon,
+                 (h2 % 170000)::DOUBLE / 1000.0 - 85.0 AS base_lat,
+                 (h3 % 1000) < 300 AS in_hot,
+                 (h4 % 3) AS which,
+                 ((h3 // 1024) % 2000)::DOUBLE / 100000.0 - 0.01 AS j_lon,
+                 ((h3 // 16777216) % 2000)::DOUBLE / 100000.0 - 0.01 AS j_lat
+          FROM sdf
+        ),
+        ll AS (
+          SELECT CASE WHEN in_hot
+                      THEN (CASE which WHEN 0 THEN {lon0} WHEN 1 THEN {lon1}
+                                       ELSE {lon2} END) + j_lon
+                      ELSE base_lon END AS lon,
+                 CASE WHEN in_hot
+                      THEN (CASE which WHEN 0 THEN {lat0} WHEN 1 THEN {lat1}
+                                       ELSE {lat2} END) + j_lat
+                      ELSE base_lat END AS lat
+          FROM pos
+        )
+        SELECT {GRID_SQL} AS cell_id, count(*) AS n_images
+        FROM ll GROUP BY 1
+    """
+
+
 def _minhash_oracle_sql(
     k: int = 5, n_hashes: int = 64, n_bands: int = 16, threshold: float = 0.5
 ) -> str:
@@ -703,10 +831,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, capacity=256)
 
 
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column-expression quality score (floor-rounded 1e-3): len term +
-    punctuation-rate term + word-length term — arithmetic identical to the
-    oracle SQL."""
+def _doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, q_milli bigint, q_score double) — the quality-score
+    derivation shared by q_text_signals and q_corpus_filter: len term +
+    punctuation-rate term + word-length term, floor-rounded to integer
+    millis so checked outputs are float-luck-free."""
     docs = q_token_stats(spark, sf_dir)
     n_chars = F.col("n_chars").cast("double")
     n_tok = F.col("n_tokens").cast("double")
@@ -716,8 +845,50 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     wlen_term = F.greatest(
         F.lit(0.0), F.least(F.lit(1.0), 1.0 - F.abs((n_chars - (n_tok - 1)) / n_tok - 5.0) / 10.0)
     )
-    score = F.floor((0.4 * len_term + 0.3 * punct_term + 0.3 * wlen_term) * 1000.0) / 1000.0
-    return docs.select("doc_id", score.alias("q_score"))
+    milli = F.floor((0.4 * len_term + 0.3 * punct_term + 0.3 * wlen_term) * 1000.0)
+    return docs.select(
+        "doc_id",
+        milli.cast("bigint").alias("q_milli"),
+        (milli / 1000.0).alias("q_score"),
+    )
+
+
+def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two text-curation signals in one checked result (folded from the
+    former quality_score + lang_distribution queries so the round-3 image
+    queries fit inside the driver's 50-query oracle window): (a) per-doc
+    quality score as exact integer millis — len term + punctuation-rate
+    term + word-length term, arithmetic identical to the oracle SQL —
+    and (b) language-ID heuristic counts (stopword-profile argmax; the
+    DuckDB oracle replicates it via list_intersect, and accuracy vs the
+    table's lang labels is additionally asserted in pytest). Legs tagged
+    by `src` on a common (src, key, v) schema."""
+    from pyspark.sql.types import StringType
+
+    from geojson_spark.functions.text import lang_id
+
+    quality = _doc_quality(spark, sf_dir).select(
+        F.lit("quality").alias("src"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("q_milli").alias("v"),
+    )
+
+    @F.pandas_udf(StringType())
+    def _lang(texts: pd.Series) -> pd.Series:
+        return pd.Series(lang_id(texts))
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lang = (
+        raw.select(_lang(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.lit("lang").alias("src"),
+            F.col("pred_lang").alias("key"),
+            F.col("n_docs").cast("bigint").alias("v"),
+        )
+    )
+    return quality.unionByName(lang)
 
 
 def q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1166,25 +1337,6 @@ def q_gc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic counts; DuckDB oracle replicates the
-    stopword-profile argmax via list_intersect, and accuracy vs the
-    table's lang labels is additionally asserted in pytest."""
-    from pyspark.sql.types import StringType
-
-    from geojson_spark.functions.text import lang_id
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-
-    @F.pandas_udf(StringType())
-    def _lang(texts: pd.Series) -> pd.Series:
-        return pd.Series(lang_id(texts))
-
-    return docs.select(_lang(F.col("text")).alias("pred_lang")).groupBy("pred_lang").agg(
-        F.count("*").alias("n_docs")
-    )
-
-
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs. Full DuckDB oracle: both engines share
     md5 as the base shingle hash and integer mod-2^64 remixes/FNV band
@@ -1353,42 +1505,40 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("block").cast("bigint").alias("block"))
 
 
-def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each event picks the user's latest order at/before the
-    event time (single-shuffle union+window implementation)."""
-    from geojson_spark.operators.joins import asof_join
+def q_event_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal joins in one checked result (folded from the former
+    asof_join + range_join queries so the round-3 image query fits inside
+    the driver's 50-query oracle window): (a) as-of join — each event picks
+    the user's latest order at/before the event time (single-shuffle
+    union+window implementation), (b) interval join — clicks within 30 min
+    after each error event of the same user (epoch-bucketed equi-join, no
+    theta-join). Legs tagged by `src` on a common (src, event_id, k, v)
+    schema; both operators' physical plans are unchanged."""
+    from geojson_spark.operators.joins import asof_join, range_join
 
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
     )
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         F.col("o_custkey").alias("user_id"),
         F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
         "o_orderkey",
     )
-    out = asof_join(
-        ev,
+    asof = asof_join(
+        ev.select("event_id", "user_id", "ts"),
         orders,
         key="user_id",
         left_time="ts",
         right_time="o_orderdate",
         right_cols={"o_orderkey": "o_orderkey"},
         right_tie="o_orderkey",
-    )
-    return out.select(
-        "event_id", "user_id", F.coalesce("o_orderkey", F.lit(-1)).alias("o_orderkey")
+    ).select(
+        F.lit("asof").alias("src"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("k"),
+        F.coalesce("o_orderkey", F.lit(-1)).cast("bigint").alias("v"),
     )
 
-
-def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval join: clicks within 30 min after each error event of the
-    same user (bucketed equi-join, no theta-join)."""
-    from geojson_spark.operators.joins import range_join
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
     errors = ev.where(F.col("event_type") == "error").select(
         F.col("event_id").alias("error_id"),
         "user_id",
@@ -1398,16 +1548,26 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id", "ts", F.col("event_id").alias("click_id")
     )
-    joined = range_join(
-        clicks,
-        errors,
-        key="user_id",
-        point_time="ts",
-        start_col="w_start",
-        end_col="w_end",
-        bucket_seconds=1800,
+    ranged = (
+        range_join(
+            clicks,
+            errors,
+            key="user_id",
+            point_time="ts",
+            start_col="w_start",
+            end_col="w_end",
+            bucket_seconds=1800,
+        )
+        .groupBy("error_id")
+        .agg(F.count("*").alias("n_clicks"))
+        .select(
+            F.lit("range").alias("src"),
+            F.col("error_id").cast("bigint").alias("event_id"),
+            F.lit(0).cast("bigint").alias("k"),
+            F.col("n_clicks").cast("bigint").alias("v"),
+        )
     )
-    return joined.groupBy("error_id").agg(F.count("*").alias("n_clicks"))
+    return asof.unionByName(ranged)
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1571,7 +1731,7 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
-    quality = q_quality_score(spark, sf_dir)
+    quality = _doc_quality(spark, sf_dir).select("doc_id", "q_score")
 
     @F.pandas_udf(StringType())
     def _lang(texts: pd.Series) -> pd.Series:
@@ -1726,6 +1886,67 @@ def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "p_id")
 
 
+def q_image_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-payload query with a FULL DuckDB oracle: generate the
+    deterministic image corpus (raw/rle/q8 codecs), DECODE THE ENCODED
+    BYTES in a mapInPandas stage, and emit integer BT.601 luma histograms
+    + brightness_milli per image. The oracle (_image_luma_oracle_sql)
+    regenerates every pixel arithmetically — splitmix64 replayed in staged
+    mod-2^64 HUGEINT SQL, q8's mid-bin quantization applied in SQL — so a
+    hash match proves the codec encode→decode round-trip pixel-exact, not
+    just the histogram math. sf_dir is unused: the corpus is fixed-size
+    (192 images) because the oracle string cannot depend on it."""
+    from geojson_spark.operators.multimodal import luma_histogram
+    from geojson_spark.sources.images import generate_images
+
+    imgs = generate_images(spark, 192, skew=True)
+    h = luma_histogram(imgs, bins=16)
+    hist_rows = (
+        h.select("image_id", F.posexplode("hist").alias("bin", "n_px"))
+        .where(F.col("n_px") > 0)
+        .select(
+            "image_id",
+            F.col("bin").cast("int").alias("bin"),
+            F.col("n_px").cast("bigint").alias("n_px"),
+        )
+    )
+    bright = h.select(
+        "image_id",
+        F.lit(-1).cast("int").alias("bin"),
+        F.col("brightness_milli").cast("bigint").alias("n_px"),
+    )
+    return hist_rows.unionByName(bright)
+
+
+def q_image_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's core op, driver-checked end to end: generate the
+    deterministic image+caption corpus DISTRIBUTED (mapInPandas over
+    spark.range — same rows at any parallelism), assign each image to its
+    grid cell, and count per cell through the salted two-stage aggregation
+    (30% of images land in 3 city-hotspot cells, the exact skew salting
+    exists for). The oracle (_image_cells_oracle_sql) regenerates every
+    image's derived lon/lat arithmetically — four chained splitmix64
+    rounds in SQL including the hotspot branch — so a hash match proves
+    the distributed generation, the cell assignment, and the skew-safe
+    aggregation all at once. sf_dir is unused: the corpus is fixed-size
+    (2000 images) because the oracle string cannot depend on it."""
+    from geojson_spark.operators.agg import salted_agg
+    from geojson_spark.sources.images import generate_images
+
+    imgs = generate_images(spark, 2000, skew=True)
+    cells = imgs.select(
+        "image_id", grid_cell(F.col("lon"), F.col("lat")).alias("cell_id")
+    )
+    out = salted_agg(
+        cells, "cell_id", {"n_images": ("count", "image_id")},
+        salt_col="image_id", n_salts=8,
+    )
+    return out.select(
+        F.col("cell_id").cast("bigint").alias("cell_id"),
+        F.col("n_images").cast("bigint").alias("n_images"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: derived points → S2 PIP join vs nation rects → per-polygon
     count + bbox (parse → cell assign → cover explode → equi-join →
@@ -1774,14 +1995,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_join": wrap(q_bbox_join),
         "geohash_counts": wrap(q_geohash_counts),
         "tile_pyramid": wrap(q_tile_pyramid),
-        "quality_score": wrap(q_quality_score),
+        "text_signals": wrap(q_text_signals),
         "events_windows": wrap(q_events_windows),
         "ann_topk": wrap(q_ann_topk),
         "geojson_parse": wrap(q_geojson_parse),
         "polygon_roundtrip": wrap(q_polygon_roundtrip),
         "fidelity_roundtrip": wrap(q_fidelity_roundtrip),
         "gc_roundtrip": wrap(q_gc_roundtrip),
-        "lang_distribution": wrap(q_lang_distribution),
         "minhash_near_dups": wrap(q_minhash_near_dups),
         "simhash_near_dups": wrap(q_simhash_near_dups),
         "hex_cell_counts": wrap(q_hex_cell_counts),
@@ -1790,8 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": wrap(q_pricing_summary),
         "shingle_jaccard": wrap(q_shingle_jaccard),
         "embedding_near_dups": wrap(q_embedding_near_dups),
-        "asof_join": wrap(q_asof_join),
-        "range_join": wrap(q_range_join),
+        "event_joins": wrap(q_event_joins),
         "sessionize": wrap(q_sessionize),
         "shipping_priority": wrap(q_shipping_priority),
         "semi_anti": wrap(q_semi_anti),
@@ -1808,6 +2027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": wrap(q_bm25_topk),
         "repetition_stats": wrap(q_repetition_stats),
         "distance_join": wrap(q_distance_join),
+        "image_luma": wrap(q_image_luma),
+        "image_cells": wrap(q_image_cells),
         # --- rows-only entries (no DuckDB oracle, by documented design) go
         # LAST: the driver checks the first 50 dict entries, and every slot
         # inside that window must carry a full oracle. compression_ratio
@@ -1910,7 +2131,7 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[^ \t\n\r\f]+'))::BIGINT AS n_ws_tokens
             FROM documents
         """,
-        "quality_score": """
+        "text_signals": r"""
             WITH t AS (
               SELECT doc_id,
                      length(text)::DOUBLE AS n_chars,
@@ -1918,14 +2139,36 @@ def oracle_sql() -> dict[str, str]:
                      (length(text) - length(replace(text, '.', ''))
                       + length(text) - length(replace(text, ',', '')))::DOUBLE AS n_punct
               FROM documents
+            ),
+            w AS (
+              SELECT doc_id, list_distinct(list_transform(
+                  (list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> ''))[1:200],
+                  x -> lower(x))) AS words
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                len(list_intersect(words, ['the','and','of','to','in','is','that','it','was','for'])) AS en,
+                len(list_intersect(words, ['der','die','und','das','ist','nicht','ein','mit','von','zu'])) AS de,
+                len(list_intersect(words, ['le','la','et','les','des','est','un','une','du','que'])) AS fr,
+                len(list_intersect(words, ['el','la','de','que','los','es','un','una','las','por'])) AS es
+              FROM w
             )
-            SELECT doc_id,
-                   floor((0.4 * least(n_chars / 200.0, 1.0)
+            SELECT 'quality' AS src, doc_id::VARCHAR AS key,
+                   cast(floor((0.4 * least(n_chars / 200.0, 1.0)
                         + 0.3 * least(n_punct / n_tokens * 5.0, 1.0)
                         + 0.3 * greatest(0.0, least(1.0,
                               1.0 - abs((n_chars - (n_tokens - 1)) / n_tokens - 5.0) / 10.0))
-                         ) * 1000.0) / 1000.0 AS q_score
+                         ) * 1000.0) as bigint) AS v
             FROM t
+            UNION ALL
+            SELECT 'lang', pred_lang, n_docs FROM (
+              SELECT CASE WHEN greatest(en,de,fr,es) = 0 THEN 'und'
+                          WHEN en = greatest(en,de,fr,es) THEN 'en'
+                          WHEN de = greatest(en,de,fr,es) THEN 'de'
+                          WHEN fr = greatest(en,de,fr,es) THEN 'fr'
+                          ELSE 'es' END AS pred_lang, count(*) AS n_docs
+              FROM h GROUP BY 1
+            )
         """,
         "events_windows": """
             WITH e AS (
@@ -2322,27 +2565,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_near_dups": _minhash_oracle_sql(),
         "simhash_near_dups": _simhash_oracle_sql(),
-        "lang_distribution": r"""
-            WITH w AS (
-              SELECT doc_id, list_distinct(list_transform(
-                  (list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> ''))[1:200],
-                  x -> lower(x))) AS words
-              FROM documents
-            ), h AS (
-              SELECT doc_id,
-                len(list_intersect(words, ['the','and','of','to','in','is','that','it','was','for'])) AS en,
-                len(list_intersect(words, ['der','die','und','das','ist','nicht','ein','mit','von','zu'])) AS de,
-                len(list_intersect(words, ['le','la','et','les','des','est','un','une','du','que'])) AS fr,
-                len(list_intersect(words, ['el','la','de','que','los','es','un','una','las','por'])) AS es
-              FROM w
-            )
-            SELECT CASE WHEN greatest(en,de,fr,es) = 0 THEN 'und'
-                        WHEN en = greatest(en,de,fr,es) THEN 'en'
-                        WHEN de = greatest(en,de,fr,es) THEN 'de'
-                        WHEN fr = greatest(en,de,fr,es) THEN 'fr'
-                        ELSE 'es' END AS pred_lang, count(*) AS n_docs
-            FROM h GROUP BY 1
-        """,
         "shingle_jaccard": r"""
             WITH w AS (
               SELECT doc_id,
@@ -2374,8 +2596,9 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE {_COS_SQL.format(a="a.qv", b="b.qv")} >= 0.40
         """,
-        "asof_join": """
-            SELECT event_id, user_id, coalesce(o_orderkey, -1) AS o_orderkey FROM (
+        "event_joins": """
+            SELECT 'asof' AS src, event_id, user_id AS k,
+                   coalesce(o_orderkey, -1)::BIGINT AS v FROM (
               SELECT e.event_id, e.user_id, o.o_orderkey,
                      row_number() OVER (
                        PARTITION BY e.event_id
@@ -2384,14 +2607,15 @@ def oracle_sql() -> dict[str, str]:
               FROM events e LEFT JOIN orders o
                 ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
             ) WHERE rn = 1
-        """,
-        "range_join": """
-            SELECT er.event_id AS error_id, count(*) AS n_clicks
-            FROM events er JOIN events c
-              ON c.user_id = er.user_id AND c.event_type = 'click'
-             AND c.ts >= er.ts AND c.ts < er.ts + INTERVAL 30 MINUTE
-            WHERE er.event_type = 'error'
-            GROUP BY 1
+            UNION ALL
+            SELECT 'range', error_id, 0::BIGINT, n_clicks FROM (
+              SELECT er.event_id AS error_id, count(*) AS n_clicks
+              FROM events er JOIN events c
+                ON c.user_id = er.user_id AND c.event_type = 'click'
+               AND c.ts >= er.ts AND c.ts < er.ts + INTERVAL 30 MINUTE
+              WHERE er.event_type = 'error'
+              GROUP BY 1
+            )
         """,
         "sessionize": """
             WITH s AS (
@@ -2509,6 +2733,8 @@ def oracle_sql() -> dict[str, str]:
               ON (p.lon - q.q_lon)*(p.lon - q.q_lon)
                + (p.lat - q.q_lat)*(p.lat - q.q_lat) <= 9.0
         """,
+        "image_luma": _image_luma_oracle_sql(192, 16),
+        "image_cells": _image_cells_oracle_sql(2000),
     }
 
 

@@ -44,8 +44,7 @@ HEADLINE = [
     "s2_tile_rollup",
     "shingle_jaccard",
     "embedding_near_dups",
-    "asof_join",
-    "range_join",
+    "event_joins",
     "sessionize",
     "hex_cell_counts",
     "pip_holes",
