@@ -2686,7 +2686,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": """
             WITH w AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                     list_filter(string_split_regex(coalesce(text, ''),
+                                                    '[ \t\n\x0B\f\r]+'),
                                  x -> x <> '') AS ws
               FROM documents
             ), b AS (

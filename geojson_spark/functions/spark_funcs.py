@@ -15,10 +15,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from geojson_spark.functions import cells as _cells
+from geojson_spark.functions.text import WS_SPLIT_RE
 
 # SQL-reproducible grid (FIXTURES.md §4): the DuckDB-oracle stand-in index.
 GRID_K = 4096
 EARTH_RADIUS_KM = 6371.0088
+
+
+def words(text_col: Column) -> Column:
+    """THE engine-wide whitespace tokenizer as a Column expression.
+
+    Single definition (over ``text.WS_SPLIT_RE``) so the engine↔oracle
+    whitespace contract — Java ``\\s`` ≡ the oracle's explicit
+    ``[ \\t\\n\\x0B\\f\\r]+`` class — cannot drift between operators: every
+    tokenizing operator (repetition_stats, bm25_topk, shingles) and every
+    DuckDB oracle must split with this class, guarded by a pytest
+    consistency check."""
+    return F.filter(F.split(text_col, WS_SPLIT_RE), lambda x: x != F.lit(""))
 
 
 def grid_cell(lon: Column, lat: Column, cells_per_degree: int = 8) -> Column:
@@ -168,12 +181,19 @@ def ensure_min_partitions(df) -> "DataFrame":  # noqa: F821 — forward ref
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if "Repartition" in plan:
-        # the caller already partitioned explicitly (e.g. a cell-prefix
-        # hash distribution downstream ops reuse) — a blanket round-robin
-        # here would both add a shuffle and erase that distribution
+    # match operator NAMES at the head of each tree line, not substrings
+    # anywhere in the plan text: a relation/column literally named
+    # "Sort..." must not misfire, and a Repartition buried BELOW a wide
+    # operator (whose output distribution the wide op destroys) must not
+    # bypass the guarantee — only a top-of-plan repartition counts as the
+    # caller having partitioned the final output explicitly
+    nodes = [ln.lstrip(" +-:*(").partition("(")[0] for ln in plan.splitlines()]
+    if nodes and nodes[0].startswith(("Repartition", "RebalancePartitions")):
+        # the caller already partitioned the OUTPUT explicitly (e.g. a
+        # cell-prefix hash distribution downstream ops reuse) — a blanket
+        # round-robin here would both add a shuffle and erase it
         return df
-    if any(tok in plan for tok in _WIDE_PLAN_TOKENS):
+    if any(n.startswith(tok) for n in nodes for tok in _WIDE_PLAN_TOKENS):
         return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -270,8 +290,11 @@ def repetition_stats(df, *, id_col: str = "doc_id", text_col: str = "text"):
     - dup ratios are integer millis (``1000·(n−distinct) div n``), exactly
       reproducible by a SQL oracle.
     """
-    t = F.col(text_col)
-    ws = F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+    # NULL text ≡ empty text on BOTH sides (the oracle coalesces too):
+    # without this, size(NULL array) = -1 on Spark vs NULL in SQL and every
+    # count column diverges on a corpus with null documents
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ws = words(t)
     n = F.size(ws).cast("bigint")
     big = F.zip_with(
         F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
@@ -318,7 +341,9 @@ def repetition_stats(df, *, id_col: str = "doc_id", text_col: str = "text"):
         F.col(id_col).alias("doc_id"),
         n.alias("n_words"),
         F.size(F.array_distinct(ws)).cast("bigint").alias("n_distinct_words"),
-        top_freq.alias("top_word_freq"),
+        # NULL text: F.aggregate over a NULL array yields NULL, but the
+        # oracle's missing-tops-row COALESCE yields 0 — match it
+        F.coalesce(top_freq, zero).alias("top_word_freq"),
         F.size(big).cast("bigint").alias("n_bigrams"),
         F.size(F.array_distinct(big)).cast("bigint").alias("n_distinct_bigrams"),
         F.size(tri).cast("bigint").alias("n_trigrams"),

@@ -272,15 +272,21 @@ def pip_join(
             sampled = polygons if frac >= 1.0 else polygons.sample(False, frac, seed=7)
             stats = sampled.select(
                 F.avg(F.size(cover_expr)).alias("m"),
-                F.avg(F.size(F.col("coords"))).alias("c"),
+                # E[cover·bytes], NOT E[cover]·E[bytes]: cover size and
+                # coords length are positively correlated (big polygons
+                # have both), so the product of means can undershoot by an
+                # order of magnitude on a mostly-tiny + few-coastlines mix
+                F.avg(
+                    F.size(cover_expr)
+                    * (F.size(F.col("coords")) * F.lit(8.0) + F.lit(64.0))
+                ).alias("pb"),
             ).first()
             mean_cover = stats["m"] or 1.0
-            mean_coords = stats["c"] or 0.0
             est_rows = n_polys * mean_cover
             # per exploded row: coords doubles (8 B each) + offsets/key/id
             # overhead (~64 B) — bounds estimated broadcast BYTES, not just
             # rows, so a fat-coords side at modest row count still shuffles
-            est_bytes = est_rows * (mean_coords * 8.0 + 64.0)
+            est_bytes = n_polys * (stats["pb"] or 0.0)
             broadcast_polygons = (
                 est_rows <= broadcast_max_rows
                 and est_bytes <= PIP_BROADCAST_MAX_BYTES
@@ -585,7 +591,12 @@ def distance_join(
         rx = F.lit(ring).cast("bigint")
         ry = F.lit(ring).cast("bigint")
         pred = (dxc * dxc + dyc * dyc) <= F.lit(float(radius) * float(radius))
-        safe = F.lit(True)  # planar metric: no wraparound pairs exist
+        # planar metric: no wraparound pairs, but the max_ring fan-out cap
+        # still binds — a radius·cpd beyond it would explode (2·ring+1)²
+        # cells per query, so those radii fall to the bounded brute-force
+        # residual exactly like unsafe haversine queries (all-or-nothing
+        # here since the planar ring is query-independent)
+        safe = F.lit(ring <= max_ring)
     elif metric == "haversine":
         dlat_deg = radius / (0.999 * KM_PER_DEG_LAT)
         ry = F.lit(int(np.ceil(dlat_deg * cpd)) + 1).cast("bigint")
@@ -617,11 +628,12 @@ def distance_join(
 
     out_cols = [q_id, q_lon, q_lat, p_id, p_lon, p_lat]
     result = near.select(*out_cols)
-    if metric == "haversine":
-        residual = q.where(~safe).select(q_id, q_lon, q_lat)
-        brute = residual.crossJoin(p.drop("cell_id")).where(pred).select(*out_cols)
-        result = result.unionByName(brute)
-    return result
+    # unsafe queries (wrap hazard or ring > max_ring) re-solve by brute
+    # force; when `safe` is literally true Catalyst's PropagateEmptyRelation
+    # prunes the entire crossJoin branch, so the common case pays nothing
+    residual = q.where(~safe).select(q_id, q_lon, q_lat)
+    brute = residual.crossJoin(p.drop("cell_id")).where(pred).select(*out_cols)
+    return result.unionByName(brute)
 
 
 def tile_join(

@@ -156,7 +156,7 @@ def resize_images(
     output row is O(out_w·out_h), so the operator SHRINKS data for
     thumbnailing — the common case — and the scan prunes all other
     columns. No shuffle."""
-    from geojson_spark.sources.images import encode_image
+    from geojson_spark.sources.images import encode_image, q8_quantize
 
     def work(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -164,6 +164,10 @@ def resize_images(
             for r in pdf.itertuples(index=False):
                 px = decode_any(r.bytes, r.fmt, r.w, r.h)
                 rp = resize_nearest(px, r.w, r.h, out_w, out_h)
+                # phash must describe the STORED bytes: with the lossy q8
+                # codec, hash the quantized pixels a decoder will see, so
+                # recompute-from-bytes checks and hamming dedup agree
+                hp = q8_quantize(rp) if out_fmt == "q8" else rp
                 rows.append(
                     {
                         "image_id": r.image_id,
@@ -171,7 +175,7 @@ def resize_images(
                         "w": out_w,
                         "h": out_h,
                         "fmt": out_fmt,
-                        "phash": average_phash(rp, out_w, out_h),
+                        "phash": average_phash(hp, out_w, out_h),
                     }
                 )
             yield pd.DataFrame(
@@ -196,7 +200,7 @@ def tile_images(
     feed the SAME hamming-join dedup as whole images (e.g. finding images
     that share a crop). Fan-out = ceil(w/tile_w)·ceil(h/tile_h); no
     shuffle in the operator itself."""
-    from geojson_spark.sources.images import encode_image
+    from geojson_spark.sources.images import encode_image, q8_quantize
 
     def work(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -208,6 +212,9 @@ def tile_images(
                         t = img[ty : ty + tile_h, tx : tx + tile_w]
                         th, tw = t.shape[0], t.shape[1]
                         flat = np.ascontiguousarray(t).reshape(-1)
+                        # hash the stored (post-quantization) pixels for
+                        # lossy codecs — see resize_images
+                        hp = q8_quantize(flat) if out_fmt == "q8" else flat
                         rows.append(
                             {
                                 "image_id": r.image_id,
@@ -217,7 +224,7 @@ def tile_images(
                                 "w": tw,
                                 "h": th,
                                 "fmt": out_fmt,
-                                "phash": average_phash(flat, tw, th),
+                                "phash": average_phash(hp, tw, th),
                             }
                         )
             yield pd.DataFrame(

@@ -34,12 +34,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# Java \s ≡ [ \t\n\x0B\f\r] — the RE2-safe class the DuckDB oracle mirrors
-_WS = r"\s+"
+# the ONE engine-wide tokenizer (explicit Java-\s ≡ RE2 class) — shared
+# with repetition_stats/shingles so the oracle whitespace contract can't
+# drift between operators
+from geojson_spark.functions.spark_funcs import words as _words
 
 
-def _words(text_col):
-    return F.filter(F.split(text_col, _WS), lambda x: x != F.lit(""))
+def bm25_corpus_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pre_sized: bool = False,
+) -> DataFrame:
+    """1-row (n_corpus, t_corpus) corpus-statistics dim for ``bm25_topk``.
+
+    Compute once per corpus and pass via ``corpus_stats=`` when scoring
+    many query batches — the per-call tokenize+persist disappears. With
+    ``pre_sized`` the input is already a (doc_id, dl, …) projection."""
+    sized = (
+        docs
+        if pre_sized
+        else docs.select(
+            F.size(_words(F.col(text_col))).cast("bigint").alias("dl")
+        )
+    )
+    return sized.agg(
+        F.count("*").cast("bigint").alias("n_corpus"),
+        F.sum("dl").cast("bigint").alias("t_corpus"),
+    )
 
 
 def bm25_topk(
@@ -51,6 +74,7 @@ def bm25_topk(
     text_col: str = "text",
     q_id: str = "q_id",
     term_col: str = "term",
+    corpus_stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query under rational-idf BM25.
 
@@ -60,6 +84,15 @@ def bm25_topk(
     rn = 1..k ranked by (score desc, doc_id asc). Documents matching no
     query term never appear (score 0 rows are not emitted), matching the
     oracle's inner-join semantics.
+
+    Corpus stats (N docs, Σ dl) need every doc — including non-matching
+    ones — so they cannot ride the pruned postings aggregation. Rather
+    than tokenizing the corpus twice, the tokenized projection is
+    persisted (MEMORY_AND_DISK, spills instead of OOM) across its two
+    consumers — one tokenize, not two — and left to Spark's LRU once the
+    result is computed; serving workloads that score many query batches
+    should pass ``corpus_stats=bm25_corpus_stats(docs)`` computed once,
+    which skips the persist entirely.
     """
     terms = query_terms.select(F.col(term_col).alias("w")).distinct()
     sized = docs.select(
@@ -67,10 +100,13 @@ def bm25_topk(
     ).select("doc_id", F.size("ws").cast("bigint").alias("dl"), "ws")
 
     # corpus stats as a broadcast 1-row dim — no driver round-trip
-    stats = sized.agg(
-        F.count("*").cast("bigint").alias("n_corpus"),
-        F.sum("dl").cast("bigint").alias("t_corpus"),
-    )
+    if corpus_stats is None:
+        from pyspark import StorageLevel
+
+        sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
+        stats = bm25_corpus_stats(sized, pre_sized=True)
+    else:
+        stats = corpus_stats
 
     # postings pruned to query terms BEFORE the (doc, term) aggregation:
     # the broadcast hash join drops non-query words at the scan stage, so

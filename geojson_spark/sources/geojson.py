@@ -132,6 +132,46 @@ def iter_feature_strings(stream, chunk_size: int = 1 << 20) -> Iterator[str]:
         raise MalformedGeoJson("FeatureCollection has no `features` array")
 
 
+def _has_toplevel_features(head: str) -> bool:
+    """True if a top-level (depth-1) ``"features": [`` is visible in
+    ``head`` — the sniff-cap disambiguator between a huge FC with a
+    trailing ``type`` key (streamable) and a huge single document (not).
+    Same string/escape/depth rules as :func:`iter_feature_strings`."""
+    depth = 0
+    in_str = False
+    esc = False
+    collecting = False
+    pending: list[str] = []
+    last = ""
+    for ch in head:
+        if in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+                if collecting:
+                    last = "".join(pending)
+                    collecting = False
+                    pending = []
+            elif collecting:
+                pending.append(ch)
+            continue
+        if ch == '"':
+            in_str = True
+            if depth == 1:
+                collecting = True
+                pending = []
+        elif ch in "{[":
+            if ch == "[" and depth == 1 and last == "features":
+                return True
+            depth += 1
+        elif ch in "}]":
+            depth -= 1
+    return False
+
+
 def _feature_rows(feats: list[dict], base_idx: int) -> pd.DataFrame:
     rows = []
     for i, f in enumerate(feats):
@@ -186,13 +226,20 @@ def read_geojson(
                         # Undecided at EOF: the whole file fit in the sniff
                         # window, so a whole-doc parse is memory-bounded.
                         # Undecided at the CAP is different — the top-level
-                        # "type" may sit past 16 MB (e.g. a huge `features`
-                        # array preceding it), and falling back to a
-                        # whole-file read would silently abandon the
-                        # O(1-feature) streaming path on exactly the files
-                        # that need it. Route to the streaming scanner,
-                        # which errors cleanly if the doc isn't an FC.
-                        kind = "FeatureCollection" if len(head) >= sniff_cap else "single"
+                        # "type" may sit past 16 MB. If a top-level
+                        # `features` array is visible in the window, this
+                        # is a huge FC with a trailing type key: route to
+                        # the streaming scanner so the O(1-feature) path
+                        # isn't abandoned on exactly the files that need
+                        # it. Otherwise it's a big single doc (e.g. a 20 MB
+                        # bare geometry whose type follows its coordinate
+                        # array) — the whole-file read is then unavoidable,
+                        # and is what parsing it requires anyway.
+                        at_eof = len(head) < sniff_cap or fh.read(1) == ""
+                        if not at_eof and _has_toplevel_features(head):
+                            kind = "FeatureCollection"
+                        else:
+                            kind = "single"
                     fh.seek(0)
                     if kind == "FeatureCollection":
                         batch: list[dict] = []

@@ -132,7 +132,21 @@ def stream_dedup(stream: DataFrame, *, key_cols: list[str], ts_col: str = "ts",
         # same ts cast as the streaming path so the two schemas match
         from pyspark.sql.window import Window
 
-        w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc_nulls_last())
+        # ts alone leaves same-timestamp duplicates partition-order
+        # dependent; break ties on every remaining orderable column (maps
+        # aren't) so repeated runs keep the same row
+        from pyspark.sql.types import MapType
+
+        tie = [
+            F.col(f.name).asc_nulls_last()
+            for f in typed.schema.fields
+            if f.name not in key_cols
+            and f.name != ts_col
+            and not isinstance(f.dataType, MapType)
+        ]
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(ts_col).asc_nulls_last(), *tie
+        )
         return (
             typed.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
