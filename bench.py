@@ -56,19 +56,19 @@ HEADLINE = [
     "simhash_near_dups",
     "doc_fingerprint",
     "token_stats",
-    "hash_split",
+    "splits_sample",
     "contamination",
     "pack_sequences",
-    "stratified_sample",
     "polygon_metrics",
     "bbox_join",
     "geohash_counts",
     "tile_pyramid",
     "bm25_topk",
-    "image_luma",
-    "image_cells",
+    "image_stats",
     "repetition_stats",
     "distance_join",
+    "dbscan",
+    "density_tiles",
 ]
 
 

@@ -1,0 +1,113 @@
+"""Vector → raster: render point tables into real image tiles.
+
+The mirror of the raster→vector direction (``sources/images`` +
+``operators/multimodal`` decode images into cells/features): this module
+rasterizes a point table into per-tile density images — the standard
+heatmap/coverage-preview step of a geospatial pipeline, producing rows in
+the engine's image-table shape so every downstream image operator (pHash
+dedup, tiling, luma stats, invariants) composes with rendered tiles.
+
+Scale design (100 TB of points):
+
+1. The input is scanned ONCE and immediately reduced JVM-side:
+   ``groupBy(tile, px, py).count()`` with map-side partial aggregation, so
+   the only big shuffle carries ≤ res² tiny integer rows per tile — not
+   points.
+2. Rendering is ``applyInPandas`` over tile groups of those counts: one
+   Exchange on tile_id (Catalyst reuses the first shuffle's distribution
+   where possible), output one image row per tile.
+3. Pixel mapping is the engine's shared float derivation — one multiply +
+   floor: ``g = floor((coord+off)·cpd·res)``, tile = ``g div res``, pixel
+   = ``g mod res`` — so the per-tile integer stats replay bit-exactly in
+   a SQL oracle, while the checksum is recomputed FROM THE ENCODED BYTES
+   (decode → sum) proving the codec round-trip, not just the counts.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geojson_spark.functions.spark_funcs import GRID_K
+
+
+def rasterize_density(
+    points: DataFrame,
+    *,
+    cpd: int = 1,
+    res: int = 32,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    out_fmt: str = "raw",
+) -> DataFrame:
+    """Render points into per-tile ``res``×``res`` grayscale density
+    images (stored RGB in the engine's codec formats).
+
+    Tile ids are ``tx·GRID_K + ty`` on the ``cpd`` grid — the same id
+    space as :func:`geojson_spark.functions.spark_funcs.grid_cell`, so
+    rendered tiles equi-join against vector cell aggregates. Pixel value
+    = ``min(point_count, 255)``.
+
+    Output: (tile_id, bytes, w, h, fmt, phash, n_points, nonzero_px,
+    max_count, checksum) where checksum = Σ (py·res+px+1)·pixel over the
+    DECODED bytes — integer-exact and SQL-replayable from the raw points.
+    """
+    from geojson_spark.sources.images import average_phash, decode_image, encode_image
+
+    scale = float(cpd * res)
+    gx = F.floor((F.col(lon_col) + F.lit(180.0)) * F.lit(scale)).cast("bigint")
+    gy = F.floor((F.col(lat_col) + F.lit(90.0)) * F.lit(scale)).cast("bigint")
+    # floor-div/pmod (not / and %) so out-of-range coordinates land in
+    # consistent negative tiles instead of corrupting pixel indices; for
+    # in-range coords this is identical to the oracle's // and %
+    counts = (
+        points.select(
+            (F.floor(gx / res).cast("bigint") * GRID_K
+             + F.floor(gy / res).cast("bigint")).alias("tile_id"),
+            F.pmod(gx, F.lit(res)).cast("int").alias("px"),
+            F.pmod(gy, F.lit(res)).cast("int").alias("py"),
+        )
+        .groupBy("tile_id", "px", "py")
+        .agg(F.count("*").alias("c"))
+    )
+
+    def render(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        img = np.zeros((res, res), dtype=np.int64)
+        img[pdf["py"].to_numpy(), pdf["px"].to_numpy()] = pdf["c"].to_numpy()
+        gray = np.minimum(img, 255).astype(np.uint8)
+        flat = np.repeat(gray.reshape(-1), 3)  # grayscale → RGB triples
+        buf = encode_image(flat, out_fmt)
+        # stats from the DECODED bytes: a codec bug breaks the checksum,
+        # not just the preview
+        dec = decode_image(buf, out_fmt, res, res).reshape(res, res, 3)[:, :, 0]
+        dec64 = dec.astype(np.int64)
+        idx = np.arange(res * res, dtype=np.int64).reshape(res, res) + 1
+        return pd.DataFrame(
+            [
+                {
+                    "tile_id": int(key[0]),
+                    "bytes": buf,
+                    "w": res,
+                    "h": res,
+                    "fmt": out_fmt,
+                    "phash": average_phash(flat, res, res),
+                    "n_points": int(pdf["c"].sum()),
+                    "nonzero_px": int((dec > 0).sum()),
+                    "max_count": int(pdf["c"].max()),
+                    "checksum": int((idx * dec64).sum()),
+                }
+            ]
+        )
+
+    return counts.groupBy("tile_id").applyInPandas(
+        render,
+        schema=(
+            "tile_id bigint, bytes binary, w int, h int, fmt string, "
+            "phash long, n_points bigint, nonzero_px bigint, "
+            "max_count bigint, checksum bigint"
+        ),
+    )
