@@ -53,7 +53,6 @@ def dbscan(
     ``max(1, round(1/eps))`` so the ring join explodes ~5×5 cells per
     point regardless of eps.
     """
-    from geojson_spark.operators.dedup import assign_keepers
     from geojson_spark.operators.joins import distance_join
 
     if cpd is None:
@@ -70,15 +69,38 @@ def dbscan(
         F.col(lat_col).alias("p_lat"),
     )
     # all ordered neighbor pairs, INCLUDING the self pair (dist 0 ≤ eps),
-    # so the groupBy count below is the standard |N_eps(p)| ≥ min_pts test
-    pairs = distance_join(
-        q, p, radius=eps, metric="euclidean_deg2", cpd=cpd
-    ).select("q_id", "p_id")
+    # so the groupBy count below is the standard |N_eps(p)| ≥ min_pts test.
+    # Persisted: three branches (core count, core-core edges, border
+    # attach) reference it — uncached, the ring join would re-run once per
+    # branch at action time, on top of assign_keepers' eager consumption.
+    pairs = (
+        distance_join(q, p, radius=eps, metric="euclidean_deg2", cpd=cpd)
+        .select("q_id", "p_id")
+        .persist()
+    )
+    try:
+        return _cluster(points, pairs, core_min=min_pts, id_col=id_col,
+                        max_iters=max_iters)
+    finally:
+        # _cluster localCheckpoints (eager) the small label tables, so the
+        # returned plan no longer references pairs and the blocks can go
+        pairs.unpersist()
+
+
+def _cluster(
+    points: DataFrame,
+    pairs: DataFrame,
+    *,
+    core_min: int,
+    id_col: str,
+    max_iters: int,
+) -> DataFrame:
+    from geojson_spark.operators.dedup import assign_keepers
 
     core = (
         pairs.groupBy("q_id")
         .agg(F.count("*").alias("n_nbr"))
-        .where(F.col("n_nbr") >= min_pts)
+        .where(F.col("n_nbr") >= core_min)
         .select(F.col("q_id").alias("id"))
     )
 
@@ -94,8 +116,17 @@ def dbscan(
     labels = assign_keepers(core_edges, max_iters=max_iters).select(
         F.col("doc_id").alias("id"), F.col("keeper_id").alias("cluster_id")
     )
-    core_lbl = core.join(labels, "id", "left").select(
-        "id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id")
+    # eager localCheckpoint (same discipline as assign_keepers' rounds):
+    # core_lbl feeds both the border attach and the final union, and the
+    # caller unpersists `pairs` on return — materializing the small label
+    # tables here cuts every later reference to the neighbor join
+    core_lbl = (
+        core.join(labels, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     # border points: non-core with ≥1 core neighbor → min neighbor cluster
@@ -111,6 +142,7 @@ def dbscan(
         .groupBy("q_id")
         .agg(F.min("nbr_cluster").alias("cluster_id"))
         .select(F.col("q_id").alias("id"), "cluster_id")
+        .localCheckpoint(eager=True)
     )
 
     ids = points.select(F.col(id_col).cast("bigint").alias("id"))
