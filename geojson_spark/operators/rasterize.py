@@ -19,8 +19,10 @@ Scale design (100 TB of points):
 3. Pixel mapping is the engine's shared float derivation — one multiply +
    floor: ``g = floor((coord+off)·cpd·res)``, tile = ``g div res``, pixel
    = ``g mod res`` — so the per-tile integer stats replay bit-exactly in
-   a SQL oracle, while the checksum is recomputed FROM THE ENCODED BYTES
-   (decode → sum) proving the codec round-trip, not just the counts.
+   a SQL oracle, while for lossless formats the checksum is recomputed
+   FROM THE ENCODED BYTES (decode → sum) proving the codec round-trip,
+   not just the counts (lossy q8 falls back to pre-encode pixels — its
+   quantizer maps 0 → 2, so decoded-byte stats would be meaningless).
 """
 
 from __future__ import annotations
@@ -98,16 +100,20 @@ def rasterize_density(
         )
         n_points = imgs.sum(axis=(1, 2))
         max_count = imgs.max(axis=(1, 2))
+        # q8 is lossy (0 quantizes to 2): decoded-byte stats would read
+        # nonzero_px = res² everywhere, so for lossy fmts the stats come
+        # from the pre-encode pixels; the lossless fmts keep the stronger
+        # decoded-byte contract (a codec bug breaks the checksum)
+        lossless = out_fmt in ("raw", "rle")
         rows = []
         for t in range(len(tids)):
             gray = np.minimum(imgs[t], 255).astype(np.uint8)
             flat = np.repeat(gray.reshape(-1), 3)  # grayscale → RGB triples
             buf = encode_image(flat, out_fmt)
-            # stats from the DECODED bytes: a codec bug breaks the
-            # checksum, not just the preview
             dec = decode_image(buf, out_fmt, res, res).reshape(res, res, 3)[
                 :, :, 0
             ]
+            stat = dec if lossless else gray
             rows.append(
                 {
                     "tile_id": int(tids[t]),
@@ -115,11 +121,16 @@ def rasterize_density(
                     "w": res,
                     "h": res,
                     "fmt": out_fmt,
-                    "phash": average_phash(flat, res, res),
+                    # phash describes the STORED bytes (decoded), matching
+                    # resize_images / verify_invariants — for q8 hashing
+                    # the pre-quantization pixels would fail phash_ok
+                    "phash": average_phash(
+                        np.repeat(dec.reshape(-1), 3), res, res
+                    ),
                     "n_points": int(n_points[t]),
-                    "nonzero_px": int((dec > 0).sum()),
+                    "nonzero_px": int((stat > 0).sum()),
                     "max_count": int(max_count[t]),
-                    "checksum": int((idx1 * dec.astype(np.int64)).sum()),
+                    "checksum": int((idx1 * stat.astype(np.int64)).sum()),
                 }
             )
         yield pd.DataFrame(rows)

@@ -47,14 +47,9 @@ class TestDbscan:
         from geojson_spark.operators.clustering import dbscan
 
         # 3 core points in a tight clump + one point whose only neighbors
-        # are itself and ONE core → not core (min_pts=3), but border
+        # are itself and ONE core → not core (min_pts=3), but border:
+        # at eps=0.55, p3 sees self + p1 (dist 0.5) only → degree 2
         coords = [(0.0, 0.0), (0.1, 0.0), (0.0, 0.1), (0.6, 0.0)]
-        out = {
-            r.p_id: (r.cluster_id, r.is_core)
-            for r in dbscan(_pts(spark, coords), eps=0.65, min_pts=3).collect()
-        }
-        # p3: neighbors = self, p0 (0.6), p1 (0.5) → degree 3 — argh, core.
-        # shrink: with eps=0.55 p3 sees self + p1 only → degree 2 → border
         out = {
             r.p_id: (r.cluster_id, r.is_core)
             for r in dbscan(_pts(spark, coords), eps=0.55, min_pts=3).collect()
@@ -166,6 +161,23 @@ class TestRasterize:
         ).first()
         assert agg["total"] == 2000
         assert agg["mx"] >= 1
+
+    def test_q8_phash_describes_stored_bytes(self, spark):
+        """Lossy q8 tiles: phash must hash the DECODED (quantized) pixels
+        — the engine-wide phash-describes-the-stored-bytes convention —
+        and the integer stats must come from the pre-encode counts (q8
+        quantizes 0 → 2, so decoded-byte stats would read res² nonzero
+        pixels everywhere)."""
+        from geojson_spark.operators.rasterize import rasterize_density
+        from geojson_spark.sources.images import average_phash, decode_image
+
+        pts = _pts(spark, [(10.10, 20.10), (10.10, 20.15), (10.80, 20.90)])
+        r = rasterize_density(pts, cpd=1, res=4, out_fmt="q8").collect()[0]
+        dec = decode_image(r.bytes, "q8", 4, 4)
+        assert r.phash == average_phash(dec, 4, 4)
+        # counts 2 and 1 survive as stats even though q8 stores 7 and 2
+        assert (r.n_points, r.nonzero_px, r.max_count) == (3, 2, 2)
+        assert r.checksum == 18
 
     def test_composes_with_image_operators(self, spark):
         """Rendered tiles are real image rows: luma_histogram and pHash
