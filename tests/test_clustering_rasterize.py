@@ -12,6 +12,18 @@ def _pts(spark, coords):
     )
 
 
+def _square(poly_id, x0, y0, size):
+    return {
+        "poly_id": poly_id,
+        "coords": [x0, y0, x0 + size, y0, x0 + size, y0 + size,
+                   x0, y0 + size, x0, y0],
+        "ring_offsets": [0, 5],
+        "part_offsets": [0, 1],
+        "dim": 2,
+        "bbox": [x0, y0, x0 + size, y0 + size],
+    }
+
+
 class TestDbscan:
     def test_hand_checked_clusters_border_noise(self, spark):
         from geojson_spark.operators.clustering import dbscan
@@ -178,6 +190,79 @@ class TestRasterize:
         # counts 2 and 1 survive as stats even though q8 stores 7 and 2
         assert (r.n_points, r.nonzero_px, r.max_count) == (3, 2, 2)
         assert r.checksum == 18
+
+    def test_zonal_stats_hand_checked(self, spark):
+        """Pixel(0,0) of tile (10,20) has center (10.125, 20.125) and
+        count 2; pixel(3,3) center (10.875, 20.875), count 1. A polygon
+        over the tile's SW quarter sees only the first; one over the
+        whole tile sees both."""
+        from geojson_spark.operators.rasterize import (
+            rasterize_density,
+            zonal_stats,
+        )
+
+        pts = _pts(spark, [(10.10, 20.10), (10.10, 20.15), (10.80, 20.90)])
+        tiles = rasterize_density(pts, cpd=1, res=4)
+        polys = spark.createDataFrame(
+            [
+                Row(**_square("sw", 10.0, 20.0, 0.5)),
+                Row(**_square("full", 10.0, 20.0, 1.0)),
+            ]
+        )
+        got = {
+            r.poly_id: (r.n_px, r.sum_val, r.max_val)
+            for r in zonal_stats(tiles, polys, cpd=1).collect()
+        }
+        assert got == {"sw": (1, 2, 2), "full": (2, 3, 2)}
+
+    def test_zonal_stats_matches_numpy_reference(self, spark):
+        """Random points → rasterize → zonal vs a NumPy replay: same grid
+        arithmetic, containment via the package's own ray-cast kernel
+        (itself tested against brute force elsewhere)."""
+        from geojson_spark.functions.geometry import points_in_polygon
+        from geojson_spark.operators.rasterize import (
+            rasterize_density,
+            zonal_stats,
+        )
+
+        rng = np.random.default_rng(23)
+        xy = rng.uniform(0, 12, (3000, 2))
+        res, cpd = 8, 1
+        polys = [_square("a", 1.0, 1.0, 6.3), _square("b", 4.2, 0.5, 7.1)]
+
+        gx = np.floor((xy[:, 0] + 180.0) * cpd * res).astype(np.int64)
+        gy = np.floor((xy[:, 1] + 90.0) * cpd * res).astype(np.int64)
+        from collections import Counter
+
+        counts = Counter(zip(gx, gy))
+        cgx = np.array([k[0] for k in counts])
+        cgy = np.array([k[1] for k in counts])
+        val = np.minimum(np.array(list(counts.values())), 255)
+        clon = (cgx + 0.5) / (cpd * res) - 180.0
+        clat = (cgy + 0.5) / (cpd * res) - 90.0
+        expected = {}
+        for p in polys:
+            inside = points_in_polygon(
+                clon, clat, np.array(p["coords"]),
+                np.array(p["ring_offsets"]), p["dim"],
+            )
+            if inside.any():
+                expected[p["poly_id"]] = (
+                    int(inside.sum()),
+                    int(val[inside].sum()),
+                    int(val[inside].max()),
+                )
+
+        tiles = rasterize_density(
+            _pts(spark, [(float(x), float(y)) for x, y in xy]), cpd=cpd, res=res
+        )
+        got = {
+            r.poly_id: (r.n_px, r.sum_val, r.max_val)
+            for r in zonal_stats(
+                tiles, spark.createDataFrame([Row(**p) for p in polys]), cpd=cpd
+            ).collect()
+        }
+        assert got == expected
 
     def test_composes_with_image_operators(self, spark):
         """Rendered tiles are real image rows: luma_histogram and pHash
