@@ -1493,15 +1493,19 @@ def q_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within label blocks (deterministic
     blocking; the LSH variant is exercised in pytest). Runs over QUANTIZED
-    embeddings (see _quantize_embedding) so the ≥-threshold comparison is
-    bit-identical between the block kernel's Gram-matrix cosine and the
-    DuckDB oracle — no float derivation luck at the boundary."""
+    embeddings so the ≥-threshold comparison is bit-identical between the
+    block kernel's Gram-matrix cosine and the DuckDB oracle — no float
+    derivation luck at the boundary. The quantization happens INSIDE the
+    Arrow kernel (quantize_scale: np.round ≡ bround ≡ round_even on exact
+    ×2^16 products), so raw float32 vectors cross the boundary once —
+    round 3's F.transform pre-projection doubled the Arrow bytes and
+    benched 2× slower for the same values."""
     from geojson_spark.operators.similarity import cosine_pairs_blocked
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "label", _quantize_embedding(F.col("embedding")).alias("embedding")
+        "vec_id", "label", "embedding"
     )
-    out = cosine_pairs_blocked(emb, threshold=0.40)
+    out = cosine_pairs_blocked(emb, threshold=0.40, quantize_scale=65536.0)
     return out.select("id_a", "id_b", F.col("block").cast("bigint").alias("block"))
 
 

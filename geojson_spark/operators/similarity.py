@@ -2,8 +2,9 @@
 
 Two paths (training-pipeline requirement):
 - ``cosine_topk_bruteforce`` — exact baseline: broadcast the (small) query
-  set, score every (query, vector) pair JVM-side-joined + Arrow-batched
-  matrix math, window re-rank. One shuffle (the window).
+  set, score every (query, vector) pair with pure JVM Column arithmetic
+  (zip_with dot + pre-computed norms — no Python boundary), window re-rank.
+  One shuffle (the window).
 - ``ivf_topk`` — scale path: k-means-lite IVF. Centroids are trained on a
   sample (driver-side NumPy, few MB), broadcast; every vector is assigned to
   its nearest centroid (one column of int); queries probe ``n_probe``
@@ -17,20 +18,33 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, LongType
+from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
 
-def _cos_udf():
-    @F.pandas_udf(DoubleType())
-    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in a])
-        B = np.stack([np.asarray(v, dtype=np.float64) for v in b])
-        num = (A * B).sum(axis=1)
-        den = np.sqrt((A * A).sum(axis=1) * (B * B).sum(axis=1))
-        return pd.Series(np.where(den > 0, num / den, 0.0))
+def _dot_col(a, b):
+    """Exact JVM-side dot product over two array<double> Columns: one
+    ``zip_with`` product + one ``aggregate`` fold — each input array is
+    referenced exactly once (Catalyst inlines Column subtrees at every
+    reference, so sharing matters; see CLAUDE.md)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
 
-    return _cos
+
+def _norm2_col(a):
+    """Σ x² as one ``aggregate`` fold (array referenced once)."""
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def _cosine_col(num, qn2, vn2):
+    """cosine = dot/sqrt(na·nb), 0 when den = 0 — the same one-multiply +
+    sqrt + divide derivation the DuckDB oracle replays (``_COS_SQL``) and
+    the Gram kernel in :func:`cosine_pairs_blocked` uses. Over
+    integer-valued (quantized) components every sum is exact (< 2^53), so
+    the value is bit-identical across engines and accumulation orders."""
+    den = F.sqrt(qn2 * vn2)
+    return F.when(den > F.lit(0.0), num / den).otherwise(F.lit(0.0))
 
 
 def cosine_topk_bruteforce(
@@ -45,15 +59,32 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k: (q_id, vec_id, cosine, rank). Queries broadcast.
     Null embeddings are dropped (they cannot score); the vectors side is
-    spread to default parallelism so the Arrow cosine stage never
-    serializes on a single small-parquet partition."""
+    spread to default parallelism so small-parquet inputs still score on
+    every core.
+
+    The cosine is pure JVM Column arithmetic — norms are computed ONCE per
+    side *before* the broadcast crossJoin (so the k-way pair fan-out only
+    pays one zip_with dot per pair, never a norm), and no vector ever
+    crosses the JVM↔Python boundary. Round-3's pandas kernel shipped both
+    full quantized vectors through Arrow for every pair row — 8× the table
+    bytes for 8 queries — and benched 6× slower; same derivation
+    (dot/sqrt(na·nb)), bit-identical on quantized inputs."""
     from geojson_spark.operators.dedup import _spread
 
-    vecs = _spread(vectors.select(v_id, v_vec).where(F.col(v_vec).isNotNull()))
-    cand = F.broadcast(
-        queries.select(q_id, q_vec).where(F.col(q_vec).isNotNull())
-    ).crossJoin(vecs)
-    scored = cand.withColumn("cosine", _cos_udf()(F.col(q_vec), F.col(v_vec)))
+    vd = F.col(v_vec).cast("array<double>")
+    qd = F.col(q_vec).cast("array<double>")
+    vecs = _spread(
+        vectors.select(v_id, v_vec).where(F.col(v_vec).isNotNull())
+    ).withColumn("_vn2", _norm2_col(vd))
+    qs = (
+        queries.select(q_id, q_vec)
+        .where(F.col(q_vec).isNotNull())
+        .withColumn("_qn2", _norm2_col(qd))
+    )
+    cand = F.broadcast(qs).crossJoin(vecs)
+    scored = cand.withColumn(
+        "cosine", _cosine_col(_dot_col(qd, vd), F.col("_qn2"), F.col("_vn2"))
+    )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(v_id).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -129,17 +160,27 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF ANN top-k: probe ``n_probe`` inverted lists per query. Null
     embeddings are dropped; the vectors side is spread so assignment and
-    scoring parallelize on small inputs."""
+    scoring parallelize on small inputs. Scoring is the same JVM-side
+    Column cosine as :func:`cosine_topk_bruteforce` (norms pre-computed
+    per side, one zip_with dot per candidate pair); only the centroid
+    assignment — a dense argmax over the broadcast codebook — runs as an
+    Arrow-batched pandas kernel."""
     from geojson_spark.operators.dedup import _spread
 
+    vd = F.col(v_vec).cast("array<double>")
+    qd = F.col(q_vec).cast("array<double>")
     vectors = _spread(vectors.where(F.col(v_vec).isNotNull()))
     v_assigned = vectors.withColumn(
         "_cl", F.element_at(_assign_udf(centroids, 1)(F.col(v_vec)), 1)
-    )
+    ).withColumn("_vn2", _norm2_col(vd))
     q_assigned = queries.withColumn("_cls", _assign_udf(centroids, n_probe)(F.col(q_vec)))
-    q_probes = q_assigned.select(q_id, q_vec, F.explode("_cls").alias("_cl"))
+    q_probes = q_assigned.select(
+        q_id, q_vec, F.explode("_cls").alias("_cl")
+    ).withColumn("_qn2", _norm2_col(qd))
     cand = F.broadcast(q_probes).join(v_assigned, "_cl")
-    scored = cand.withColumn("cosine", _cos_udf()(F.col(q_vec), F.col(v_vec)))
+    scored = cand.withColumn(
+        "cosine", _cosine_col(_dot_col(qd, vd), F.col("_qn2"), F.col("_vn2"))
+    )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(v_id).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -155,6 +196,7 @@ def cosine_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.40,
+    quantize_scale: float | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within blocking-key groups.
 
@@ -169,6 +211,16 @@ def cosine_pairs_blocked(
     id_a < id_b. Numeric block keys keep their value; string keys hash to
     a deterministic long (xxhash64); rows with a null block key or null
     vector are dropped (they cannot be blocked/scored).
+
+    ``quantize_scale`` applies the engine's shared-derivation cosine
+    quantization INSIDE the kernel: ``np.round(x_f64 · scale)`` — float32
+    →float64 is exact, ×2^k is exact, and np.round is banker's rounding,
+    so the result is bit-identical to JVM ``bround(x · scale)`` and DuckDB
+    ``round_even(x · scale, 0)``. Quantizing here instead of via an
+    ``F.transform`` projection halves the bytes crossing the Arrow
+    boundary (raw float32 arrays ship once, not pre-widened float64) —
+    round-3 benched the projection variant 2× slower for exactly that
+    reason.
     """
     from pyspark.sql.types import LongType, NumericType, StructType
 
@@ -181,6 +233,8 @@ def cosine_pairs_blocked(
         order = np.argsort(ids)
         ids = ids[order]
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].iloc[order]])
+        if quantize_scale is not None:
+            V = np.round(V * quantize_scale)
         # Gram-matrix form, NOT normalize-then-multiply: cos = G/sqrt(na·nb)
         # keeps every sum a sum of raw-component products, so when callers
         # feed integer-valued (quantized) vectors the dots/norms are EXACT
