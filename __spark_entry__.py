@@ -2747,10 +2747,12 @@ def oracle_sql() -> dict[str, str]:
         # constant the Spark query builds its DataFrame from
         "bm25_topk": f"""
             WITH sized AS (
+              -- coalesce(text,'') matches the Spark side: a null doc has
+              -- dl = 0 and counts toward n_corpus (never dl = -1/NULL)
               SELECT doc_id,
-                     cast(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                     cast(len(list_filter(string_split_regex(coalesce(text, ''), '[ \t\n\x0B\f\r]+'),
                                           x -> x <> '')) AS BIGINT) AS dl,
-                     list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                     list_filter(string_split_regex(coalesce(text, ''), '[ \t\n\x0B\f\r]+'),
                                  x -> x <> '') AS ws
               FROM documents
             ), stats AS (

@@ -56,7 +56,9 @@ def bm25_corpus_stats(
         docs
         if pre_sized
         else docs.select(
-            F.size(_words(F.col(text_col))).cast("bigint").alias("dl")
+            F.size(_words(F.coalesce(F.col(text_col), F.lit(""))))
+            .cast("bigint")
+            .alias("dl")
         )
     )
     return sized.agg(
@@ -75,6 +77,7 @@ def bm25_topk(
     q_id: str = "q_id",
     term_col: str = "term",
     corpus_stats: DataFrame | None = None,
+    pre_rank_salts: int = 32,
 ) -> DataFrame:
     """Top-``k`` documents per query under rational-idf BM25.
 
@@ -89,18 +92,32 @@ def bm25_topk(
     ones — so they cannot ride the pruned postings aggregation. Rather
     than tokenizing the corpus twice, the tokenized projection is
     persisted (MEMORY_AND_DISK, spills instead of OOM) across its two
-    consumers — one tokenize, not two — and left to Spark's LRU once the
-    result is computed; serving workloads that score many query batches
-    should pass ``corpus_stats=bm25_corpus_stats(docs)`` computed once,
-    which skips the persist entirely.
+    consumers — one tokenize, not two. In that self-managed mode the
+    bounded result (≤ |queries|·k rows) is materialized EAGERLY via
+    ``localCheckpoint`` and the corpus persist is released before
+    returning, so repeated calls in a long session leave no storage
+    blocks behind (house discipline — every operator cleans up its own
+    persists). Serving workloads that score many query batches should
+    pass ``corpus_stats=bm25_corpus_stats(docs)`` computed once, which
+    skips the persist (and the eager materialization) entirely.
+
+    The final rank is two-stage: top-k per (query, salt-of-doc) first,
+    then the global per-query window sees at most ``pre_rank_salts``·k
+    rows per query — with few queries and many matching docs a single
+    global window would serialize on |queries| reducers at scale.
     """
     terms = query_terms.select(F.col(term_col).alias("w")).distinct()
+    # null text coalesces to '' so dl is 0 — NOT F.size(NULL) = -1, which
+    # would silently subtract from t_corpus while a SQL oracle's sum(dl)
+    # skips NULLs (every score would then diverge on a corpus with nulls)
     sized = docs.select(
-        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("ws")
+        F.col(id_col).alias("doc_id"),
+        _words(F.coalesce(F.col(text_col), F.lit(""))).alias("ws"),
     ).select("doc_id", F.size("ws").cast("bigint").alias("dl"), "ws")
 
     # corpus stats as a broadcast 1-row dim — no driver round-trip
-    if corpus_stats is None:
+    own_persist = corpus_stats is None
+    if own_persist:
         from pyspark import StorageLevel
 
         sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
@@ -141,9 +158,32 @@ def bm25_topk(
         .groupBy(q_id, "doc_id")
         .agg(F.sum("sc").cast("bigint").alias("score"))
     )
-    w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        scores.withColumn("rn", F.row_number().over(w))
+    # bounded pre-reduce: top-k within each (query, salt) group before the
+    # global per-query rank, so no reducer ever sorts more than
+    # pre_rank_salts·k candidate rows per query (a row in the global top-k
+    # is necessarily in its salt group's top-k — the two-stage result is
+    # identical by construction)
+    order = (F.col("score").desc(), F.col("doc_id").asc())
+    w_pre = Window.partitionBy(q_id, "_s").orderBy(*order)
+    pre = (
+        scores.withColumn(
+            "_s", F.pmod(F.xxhash64("doc_id"), F.lit(pre_rank_salts))
+        )
+        .withColumn("_prn", F.row_number().over(w_pre))
+        .where(F.col("_prn") <= k)
+        .drop("_s", "_prn")
+    )
+    w = Window.partitionBy(q_id).orderBy(*order)
+    out = (
+        pre.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select(q_id, "doc_id", "score", F.col("rn").cast("int").alias("rn"))
     )
+    if own_persist:
+        try:
+            # materialize the bounded result (≤ |queries|·k rows), then
+            # release the corpus-wide tokenized persist — no storage left
+            out = out.localCheckpoint(eager=True)
+        finally:
+            sized.unpersist()
+    return out

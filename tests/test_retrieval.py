@@ -76,13 +76,51 @@ def test_bm25_rank_is_dense_and_bounded(spark):
 
 def test_bm25_plan_prunes_postings_before_shuffle(spark):
     """The explode→terms join must be a BroadcastHashJoin BELOW the
-    (doc, term) HashAggregate, so non-query words never reach a shuffle."""
+    (doc, term) HashAggregate, so non-query words never reach a shuffle.
+    Inspected through the lazy (corpus_stats-provided) variant — the
+    self-managed variant materializes eagerly via localCheckpoint, whose
+    executed plan is just the RDD scan."""
+    from geojson_spark.operators.retrieval import bm25_corpus_stats
+
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
     qt = spark.createDataFrame(QUERY_TERMS, "q_id int, term string")
-    plan = bm25_topk(docs, qt, k=5)._jdf.queryExecution().executedPlan().toString()
+    out = bm25_topk(docs, qt, k=5, corpus_stats=bm25_corpus_stats(docs))
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     # no sort-merge join anywhere: every join side is broadcast-sized
     assert "SortMergeJoin" not in plan
+    # bounded pre-reduce: the per-(query, salt) top-k window runs before
+    # the global per-query rank, so two row_number windows appear
+    assert plan.count("row_number") >= 2
+    # both variants agree with each other (two-stage rank is lossless)
+    lazy = sorted(tuple(r) for r in out.collect())
+    eager = sorted(tuple(r) for r in bm25_topk(docs, qt, k=5).collect())
+    assert lazy == eager
+
+
+def test_bm25_releases_its_persist_and_handles_null_text(spark):
+    """Self-managed corpus stats must not leak storage across calls, and a
+    null-text doc must count as dl = 0 toward corpus stats (never the
+    F.size(NULL) = -1 hazard) while matching no terms."""
+    docs_null = DOCS + [(7, None)]
+    docs = spark.createDataFrame(docs_null, "doc_id long, text string")
+    qt = spark.createDataFrame(QUERY_TERMS, "q_id int, term string")
+    jsc = spark.sparkContext._jsc.sc()
+    before = {s.id() for s in jsc.getRDDStorageInfo()}
+    got = sorted(tuple(r) for r in bm25_topk(docs, qt, k=5).collect())
+    # reference replica treats the null doc as empty text
+    ref = _reference_bm25([(d, t or "") for d, t in docs_null], QUERY_TERMS)
+    assert got == ref
+    assert not [r for r in got if r[1] == 7]
+    # the corpus-wide tokenized persist is released before returning; the
+    # only NEW storage is the bounded localCheckpoint of the result itself
+    # (one generically-named MapPartitionsRDD) — a leaked `sized` persist
+    # would show up as a second new cached RDD
+    new = [
+        s for s in jsc.getRDDStorageInfo()
+        if s.id() not in before and s.numCachedPartitions() > 0
+    ]
+    assert len(new) <= 1, [(s.id(), s.name()) for s in new]
 
 
 def test_repetition_stats_hand_checked(spark):
