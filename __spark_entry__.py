@@ -620,12 +620,36 @@ _NATION_RECTS_SQL = """
 
 
 def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = _lineitem_points(spark, sf_dir)
-    return (
-        pts.withColumn("cell_id", grid_cell(F.col("lon"), F.col("lat")))
-        .groupBy("cell_id")
-        .agg(F.count("*").alias("n_points"))
+    """Per-cell aggregation through BOTH physical strategies, union-tagged
+    by `src` (folds the former salted_counts query so zonal_stats fits in
+    the driver's 50-slot oracle window): 'plain' = single hash aggregate,
+    'salted' = the skew-defensive salted two-stage aggregate
+    (operators/agg.salted_agg). Identical values, different plans — the
+    oracle checks both legs against one SQL aggregation."""
+    from geojson_spark.operators.agg import salted_agg
+
+    pts = (
+        _lineitem_points(spark, sf_dir)
+        .withColumn("cell_id", grid_cell(F.col("lon"), F.col("lat")))
+        .withColumn("qty_int", F.floor("l_quantity"))
     )
+    plain = pts.groupBy("cell_id").agg(
+        F.count("*").alias("n_points"), F.sum("qty_int").alias("sum_qty")
+    )
+    salted = salted_agg(
+        pts, "cell_id", {"n_points": ("count", "p_id"), "sum_qty": ("sum", "qty_int")},
+        salt_col="p_id", n_salts=8,
+    )
+
+    def shape(df, tag):
+        return df.select(
+            F.lit(tag).alias("src"),
+            "cell_id",
+            F.col("n_points").cast("bigint").alias("n_points"),
+            F.col("sum_qty").cast("bigint").alias("sum_qty"),
+        )
+
+    return shape(plain, "plain").unionByName(shape(salted, "salted"))
 
 
 def q_bbox_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,18 +742,6 @@ def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.withColumn("tile_id", grid_parent(F.col("cell_id"), 16))
         .groupBy("tile_id")
         .agg(F.count("*").alias("n_points"), F.sum(F.floor("l_quantity")).alias("sum_qty"))
-    )
-
-
-def q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from geojson_spark.operators.agg import salted_agg
-
-    pts = _lineitem_points(spark, sf_dir).withColumn(
-        "cell_id", grid_cell(F.col("lon"), F.col("lat"))
-    ).withColumn("qty_int", F.floor("l_quantity"))
-    return salted_agg(
-        pts, "cell_id", {"n_points": ("count", "p_id"), "sum_qty": ("sum", "qty_int")},
-        salt_col="p_id", n_salts=8,
     )
 
 
@@ -2042,6 +2054,32 @@ def q_density_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector zonal statistics, end-to-end through real image
+    bytes: rasterize the derived points into raw-codec density tiles,
+    DECODE the stored bytes back to sparse pixels, reconstruct each
+    pixel's center coordinate, PIP-join against the nation rectangles,
+    and aggregate integer (n_px, sum_val, max_val) per polygon. The
+    oracle regenerates the pixel grid arithmetically from the raw points
+    (the proven density_tiles derivation) and applies the pip_rects
+    predicate — a hash match proves render + encode + decode + inverse
+    pixel mapping + PIP + agg in one chain. Pixel centers are
+    (k + 0.5)/32 grids; rect bounds end in .0005, so no center ever lands
+    on a boundary (64·(m + 0.0005) is never an odd integer)."""
+    from geojson_spark.operators.rasterize import rasterize_density, zonal_stats
+
+    pts = _lineitem_points(spark, sf_dir)
+    tiles = rasterize_density(pts, cpd=1, res=32, out_fmt="raw")
+    polys = _nation_rects(spark, sf_dir)
+    out = zonal_stats(tiles, polys, cpd=1)
+    return out.select(
+        F.col("poly_id").cast("bigint").alias("poly_id"),
+        F.col("n_px").cast("bigint").alias("n_px"),
+        F.col("sum_val").cast("bigint").alias("sum_val"),
+        F.col("max_val").cast("bigint").alias("max_val"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: derived points → S2 PIP join vs nation rects → per-polygon
     count + bbox (parse → cell assign → cover explode → equi-join →
@@ -2078,7 +2116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_holes": wrap(q_pip_holes),
         "knn": wrap(q_knn),
         "tile_counts": wrap(q_tile_counts),
-        "salted_counts": wrap(q_salted_counts),
         "region_rollup": wrap(q_region_rollup),
         "exact_dedup": wrap(q_exact_dedup),
         "token_stats": wrap(q_token_stats),
@@ -2124,6 +2161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stats": wrap(q_image_stats),
         "dbscan": wrap(q_dbscan),
         "density_tiles": wrap(q_density_tiles),
+        # round 4: fits because salted_counts folded into cell_counts
+        "zonal_stats": wrap(q_zonal_stats),
         # --- rows-only entries (no DuckDB oracle, by documented design) go
         # LAST: the driver checks the first 50 dict entries, and every slot
         # inside that window must carry a full oracle. compression_ratio
@@ -2141,8 +2180,14 @@ def oracle_sql() -> dict[str, str]:
     rects = f"({_NATION_RECTS_SQL})"
     return {
         "cell_counts": f"""
-            SELECT {GRID_SQL} AS cell_id, count(*) AS n_points
-            FROM {pts} GROUP BY 1
+            WITH agg AS (
+              SELECT {GRID_SQL} AS cell_id, count(*) AS n_points,
+                     cast(sum(floor(l_quantity)) AS BIGINT) AS sum_qty
+              FROM {pts} GROUP BY 1
+            )
+            SELECT 'plain' AS src, * FROM agg
+            UNION ALL
+            SELECT 'salted' AS src, * FROM agg
         """,
         "bbox_union": f"""
             SELECT {GRID_SQL} AS cell_id,
@@ -2195,11 +2240,6 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_points,
                    cast(sum(floor(l_quantity)) as bigint) AS sum_qty
             FROM c GROUP BY 1
-        """,
-        "salted_counts": f"""
-            SELECT {GRID_SQL} AS cell_id, count(*) AS n_points,
-                   cast(sum(floor(l_quantity)) as bigint) AS sum_qty
-            FROM {pts} GROUP BY 1
         """,
         "region_rollup": """
             SELECT r_name, count(*) AS n_customers,
@@ -2920,6 +2960,40 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum((py * 32 + px + 1) * least(c, 255)) AS BIGINT)
                      AS checksum
             FROM c GROUP BY 1
+        """,
+        # zonal stats replay: regenerate the pixel grid from the raw points
+        # (the density_tiles derivation), value = least(count, 255) exactly
+        # as the raw codec stores it, pixel center = (g + 0.5)/32 − offset
+        # (one add + divide + subtract, IEEE-identical to the Spark
+        # Columns), then the pip_rects strict-inequality predicate and an
+        # all-integer per-polygon aggregate
+        "zonal_stats": f"""
+            WITH g AS (
+              SELECT cast(floor((lon + 180.0) * 32.0) AS BIGINT) AS gx,
+                     cast(floor((lat + 90.0) * 32.0) AS BIGINT) AS gy
+              FROM ({_LINEITEM_POINTS_SQL})
+              -- world-domain filter shared with rasterize_density (no-op
+              -- on the derived points, which are in range by construction)
+            ), gf AS (
+              SELECT gx, gy FROM g
+              WHERE gx >= 0 AND gx < 360*32 AND gy >= 0 AND gy < 180*32
+            ), c AS (
+              SELECT gx // 32 AS tx, gy // 32 AS ty,
+                     gx % 32 AS px, gy % 32 AS py, count(*) AS c
+              FROM gf GROUP BY 1, 2, 3, 4
+            ), px AS (
+              SELECT least(c, 255) AS val,
+                     (CAST(tx * 32 + px AS DOUBLE) + 0.5) / 32.0 - 180.0 AS lon,
+                     (CAST(ty * 32 + py AS DOUBLE) + 0.5) / 32.0 - 90.0 AS lat
+              FROM c
+            )
+            SELECT cast(r.poly_id AS BIGINT) AS poly_id,
+                   cast(count(*) AS BIGINT) AS n_px,
+                   cast(sum(p.val) AS BIGINT) AS sum_val,
+                   cast(max(p.val) AS BIGINT) AS max_val
+            FROM px p JOIN ({_NATION_RECTS_SQL}) r
+              ON p.lon > r.x0 AND p.lon < r.x1 AND p.lat > r.y0 AND p.lat < r.y1
+            GROUP BY 1
         """,
     }
 

@@ -35,7 +35,6 @@ HEADLINE = [
     "pip_rects_s2",
     "knn",
     "tile_counts",
-    "salted_counts",
     "region_rollup",
     "exact_dedup",
     "events_windows",
@@ -69,6 +68,7 @@ HEADLINE = [
     "distance_join",
     "dbscan",
     "density_tiles",
+    "zonal_stats",
 ]
 
 

@@ -52,7 +52,8 @@ def rasterize_density(
     Tile ids are ``tx·GRID_K + ty`` on the ``cpd`` grid — the same id
     space as :func:`geojson_spark.functions.spark_funcs.grid_cell`, so
     rendered tiles equi-join against vector cell aggregates. Pixel value
-    = ``min(point_count, 255)``.
+    = ``min(point_count, 255)``. Points outside the world domain
+    (lon ∈ [-180, 180), lat ∈ [-90, 90)) are dropped.
 
     Output: (tile_id, bytes, w, h, fmt, phash, n_points, nonzero_px,
     max_count, checksum) where checksum = Σ (py·res+px+1)·pixel over the
@@ -63,11 +64,18 @@ def rasterize_density(
     scale = float(cpd * res)
     gx = F.floor((F.col(lon_col) + F.lit(180.0)) * F.lit(scale)).cast("bigint")
     gy = F.floor((F.col(lat_col) + F.lit(90.0)) * F.lit(scale)).cast("bigint")
-    # floor-div/pmod (not / and %) so out-of-range coordinates land in
-    # consistent negative tiles instead of corrupting pixel indices; for
-    # in-range coords this is identical to the oracle's // and %
+    # world-domain filter: points outside lon ∈ [-180, 180) × lat ∈
+    # [-90, 90) are dropped BEFORE tiling, so ty is always in
+    # [0, 180·cpd) and tile_id = tx·GRID_K + ty decodes exactly with
+    # floor-div/mod everywhere downstream (zonal_stats reconstructs pixel
+    # centers from tile_id — a signed ty would alias into a neighboring
+    # tx under pmod and silently shift those pixels a degree over)
+    in_world = (
+        (gx >= 0) & (gx < int(360 * scale)) & (gy >= 0) & (gy < int(180 * scale))
+    )
     counts = (
-        points.select(
+        points.where(in_world)
+        .select(
             (F.floor(gx / res).cast("bigint") * GRID_K
              + F.floor(gy / res).cast("bigint")).alias("tile_id"),
             F.pmod(gx, F.lit(res)).cast("int").alias("px"),
