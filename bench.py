@@ -99,27 +99,47 @@ def _new_session(cpus: int, tag: str):
 
 
 def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
+    """Per-query seconds = MIN over interleaved full-list reps.
+
+    One rep per query let a single throttle spike on this shared host
+    become the permanent record (round 3: a 2.6× mid-run throttle turned
+    48.6 s into 132.9 s). Reps are interleaved — the whole list runs,
+    then runs again — so one bad weather window cannot hit the same
+    query twice; the min is the closest observable to the engine's own
+    cost. Single-core NumPy probes bracket every rep boundary so the
+    record carries its own weather normalizer."""
     import __spark_entry__ as E
 
     spark = _new_session(cpus, "headline")
     _warm_python_workers(spark, cpus)  # long-running executors are warm
     qs = E.queries()
+    reps = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "2"))
     times: dict[str, float] = {}
-    # single-core NumPy weather gauge bracketing the query phase: absolute
-    # query seconds on this shared host swing ~3x with tenancy (see
-    # BENCH/BASELINE.md), so the record carries its own normalizer
-    t0 = time.time()
-    _calib_task(0)
-    times["host_probe_before_sec"] = round(time.time() - t0, 3)
-    for name in HEADLINE:
+    probes: list[float] = []
+    rep_totals: list[float] = []
+
+    def probe():
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {times[name]}s ({n} rows)", file=sys.stderr)
-    t0 = time.time()
-    _calib_task(0)
-    times["host_probe_after_sec"] = round(time.time() - t0, 3)
+        _calib_task(0)
+        probes.append(round(time.time() - t0, 3))
+
+    probe()
+    for rep in range(reps):
+        rep_t0 = time.time()
+        for name in HEADLINE:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            dt = round(time.time() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
+            print(f"  [rep {rep}] {name}: {dt}s ({n} rows)", file=sys.stderr)
+        rep_totals.append(round(time.time() - rep_t0, 3))
+        probe()
+    times["host_probe_before_sec"] = probes[0]
+    times["host_probe_after_sec"] = probes[-1]
+    times["host_probe_per_rep"] = probes
+    times["headline_rep_totals"] = rep_totals
+    times["headline_reps"] = reps
     spark.stop()
     return times
 
@@ -388,7 +408,11 @@ def main():
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     times = run_headline(sf_dir, cpus)
-    probes = {k: times.pop(k) for k in list(times) if k.startswith("host_probe_")}
+    probes = {
+        k: times.pop(k)
+        for k in list(times)
+        if k.startswith(("host_probe_", "headline_"))
+    }
     scaling = run_scaling(n_images) if n_images > 0 else {}
 
     result = {

@@ -133,16 +133,24 @@ def iter_feature_strings(stream, chunk_size: int = 1 << 20) -> Iterator[str]:
 
 
 def _has_toplevel_features(head: str) -> bool:
-    """True if a top-level (depth-1) ``"features": [`` is visible in
+    """True if a top-level (depth-1) ``"features": [`` KEY is visible in
     ``head`` — the sniff-cap disambiguator between a huge FC with a
     trailing ``type`` key (streamable) and a huge single document (not).
-    Same string/escape/depth rules as :func:`iter_feature_strings`."""
+    Same string/escape/depth rules as :func:`iter_feature_strings`.
+
+    Two guards keep non-FC documents out: the root must be an object (a
+    top-level ARRAY like ``["features", [1]]`` is never an FC), and a
+    depth-1 string only counts as the ``features`` key if the next
+    non-space character is ``:`` (the string ``"features"`` as an array
+    ELEMENT followed by ``[`` must not match)."""
     depth = 0
     in_str = False
     esc = False
     collecting = False
     pending: list[str] = []
     last = ""
+    closed_str: str | None = None  # depth-1 string awaiting ':' to be a key
+    seen_root = False
     for ch in head:
         if in_str:
             if esc:
@@ -152,12 +160,23 @@ def _has_toplevel_features(head: str) -> bool:
             elif ch == '"':
                 in_str = False
                 if collecting:
-                    last = "".join(pending)
+                    closed_str = "".join(pending)
                     collecting = False
                     pending = []
             elif collecting:
                 pending.append(ch)
             continue
+        if ch in " \t\r\n":
+            continue
+        if closed_str is not None:
+            last = closed_str if ch == ":" else ""
+            closed_str = None
+            if ch == ":":
+                continue
+        if not seen_root:
+            seen_root = True
+            if ch != "{":
+                return False
         if ch == '"':
             in_str = True
             if depth == 1:
@@ -167,8 +186,12 @@ def _has_toplevel_features(head: str) -> bool:
             if ch == "[" and depth == 1 and last == "features":
                 return True
             depth += 1
+            last = ""
         elif ch in "}]":
             depth -= 1
+            last = ""
+        else:
+            last = ""
     return False
 
 

@@ -133,16 +133,27 @@ def stream_dedup(stream: DataFrame, *, key_cols: list[str], ts_col: str = "ts",
         from pyspark.sql.window import Window
 
         # ts alone leaves same-timestamp duplicates partition-order
-        # dependent; break ties on every remaining orderable column (maps
-        # aren't) so repeated runs keep the same row
-        from pyspark.sql.types import MapType
+        # dependent; break ties on every remaining orderable column so
+        # repeated runs keep the same row. Maps are unorderable in Spark
+        # at ANY nesting depth (array<map>, struct with a map field also
+        # raise in an ORDER BY), so the check walks the full type tree.
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        def orderable(dt) -> bool:
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return orderable(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(orderable(f.dataType) for f in dt.fields)
+            return True
 
         tie = [
             F.col(f.name).asc_nulls_last()
             for f in typed.schema.fields
             if f.name not in key_cols
             and f.name != ts_col
-            and not isinstance(f.dataType, MapType)
+            and orderable(f.dataType)
         ]
         w = Window.partitionBy(*key_cols).orderBy(
             F.col(ts_col).asc_nulls_last(), *tie
