@@ -928,7 +928,9 @@ def _quantize_embedding(col: Column) -> Column:
 
 
 _QUANT_SQL = "list_transform(embedding, x -> round_even(CAST(x AS DOUBLE) * 65536.0, 0))"
-# cosine over quantized lists, mirroring _cos_udf: num/sqrt(na*nb), 0 when den=0
+# cosine over quantized lists, mirroring similarity._cosine_col (JVM
+# Columns) and the Gram kernel in cosine_pairs_blocked: num/sqrt(na*nb),
+# 0 when den=0 — edits there must keep this SQL in lockstep
 _COS_SQL = (
     "CASE WHEN sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})) > 0 "
     "THEN list_dot_product({a}, {b}) "
@@ -2945,9 +2947,12 @@ def oracle_sql() -> dict[str, str]:
         # from the DECODED image bytes, so a match proves the codec path
         "density_tiles": f"""
             WITH g AS (
-              SELECT cast(floor((lon + 180.0) * 32.0) AS BIGINT) AS gx,
-                     cast(floor((lat + 90.0) * 32.0) AS BIGINT) AS gy
+              -- closed-domain filter + edge clamp, shared with
+              -- rasterize_density (no-op on the in-range derived points)
+              SELECT least(cast(floor((lon + 180.0) * 32.0) AS BIGINT), 360*32 - 1) AS gx,
+                     least(cast(floor((lat + 90.0) * 32.0) AS BIGINT), 180*32 - 1) AS gy
               FROM ({_LINEITEM_POINTS_SQL})
+              WHERE lon >= -180 AND lon <= 180 AND lat >= -90 AND lat <= 90
             ), c AS (
               SELECT gx // 32 AS tx, gy // 32 AS ty,
                      gx % 32 AS px, gy % 32 AS py, count(*) AS c
@@ -2969,18 +2974,16 @@ def oracle_sql() -> dict[str, str]:
         # all-integer per-polygon aggregate
         "zonal_stats": f"""
             WITH g AS (
-              SELECT cast(floor((lon + 180.0) * 32.0) AS BIGINT) AS gx,
-                     cast(floor((lat + 90.0) * 32.0) AS BIGINT) AS gy
+              -- closed-domain filter + edge clamp shared with
+              -- rasterize_density (no-op on the in-range derived points)
+              SELECT least(cast(floor((lon + 180.0) * 32.0) AS BIGINT), 360*32 - 1) AS gx,
+                     least(cast(floor((lat + 90.0) * 32.0) AS BIGINT), 180*32 - 1) AS gy
               FROM ({_LINEITEM_POINTS_SQL})
-              -- world-domain filter shared with rasterize_density (no-op
-              -- on the derived points, which are in range by construction)
-            ), gf AS (
-              SELECT gx, gy FROM g
-              WHERE gx >= 0 AND gx < 360*32 AND gy >= 0 AND gy < 180*32
+              WHERE lon >= -180 AND lon <= 180 AND lat >= -90 AND lat <= 90
             ), c AS (
               SELECT gx // 32 AS tx, gy // 32 AS ty,
                      gx % 32 AS px, gy % 32 AS py, count(*) AS c
-              FROM gf GROUP BY 1, 2, 3, 4
+              FROM g GROUP BY 1, 2, 3, 4
             ), px AS (
               SELECT least(c, 255) AS val,
                      (CAST(tx * 32 + px AS DOUBLE) + 0.5) / 32.0 - 180.0 AS lon,

@@ -52,8 +52,9 @@ def rasterize_density(
     Tile ids are ``tx·GRID_K + ty`` on the ``cpd`` grid — the same id
     space as :func:`geojson_spark.functions.spark_funcs.grid_cell`, so
     rendered tiles equi-join against vector cell aggregates. Pixel value
-    = ``min(point_count, 255)``. Points outside the world domain
-    (lon ∈ [-180, 180), lat ∈ [-90, 90)) are dropped.
+    = ``min(point_count, 255)``. Points outside the closed world domain
+    (lon ∈ [-180, 180], lat ∈ [-90, 90]) are dropped; the legal boundary
+    positions lon = 180 / lat = 90 clamp into the last pixel column/row.
 
     Output: (tile_id, bytes, w, h, fmt, phash, n_points, nonzero_px,
     max_count, checksum) where checksum = Σ (py·res+px+1)·pixel over the
@@ -62,16 +63,26 @@ def rasterize_density(
     from geojson_spark.sources.images import average_phash, decode_image, encode_image
 
     scale = float(cpd * res)
-    gx = F.floor((F.col(lon_col) + F.lit(180.0)) * F.lit(scale)).cast("bigint")
-    gy = F.floor((F.col(lat_col) + F.lit(90.0)) * F.lit(scale)).cast("bigint")
-    # world-domain filter: points outside lon ∈ [-180, 180) × lat ∈
-    # [-90, 90) are dropped BEFORE tiling, so ty is always in
-    # [0, 180·cpd) and tile_id = tx·GRID_K + ty decodes exactly with
-    # floor-div/mod everywhere downstream (zonal_stats reconstructs pixel
-    # centers from tile_id — a signed ty would alias into a neighboring
-    # tx under pmod and silently shift those pixels a degree over)
+    # world-domain filter + closed-edge clamp: points outside the CLOSED
+    # GeoJSON domain lon ∈ [-180, 180] × lat ∈ [-90, 90] (bad data, NaN)
+    # are dropped BEFORE tiling, so ty is always in [0, 180·cpd) and
+    # tile_id = tx·GRID_K + ty decodes exactly with floor-div/mod
+    # everywhere downstream (zonal_stats reconstructs pixel centers from
+    # tile_id — a signed ty would alias into a neighboring tx under pmod
+    # and silently shift those pixels a degree over). The boundary
+    # positions lon = 180 / lat = 90 are LEGAL GeoJSON and clamp into the
+    # last pixel column/row instead of being dropped.
     in_world = (
-        (gx >= 0) & (gx < int(360 * scale)) & (gy >= 0) & (gy < int(180 * scale))
+        (F.col(lon_col) >= -180.0) & (F.col(lon_col) <= 180.0)
+        & (F.col(lat_col) >= -90.0) & (F.col(lat_col) <= 90.0)
+    )
+    gx = F.least(
+        F.floor((F.col(lon_col) + F.lit(180.0)) * F.lit(scale)).cast("bigint"),
+        F.lit(int(360 * scale) - 1),
+    )
+    gy = F.least(
+        F.floor((F.col(lat_col) + F.lit(90.0)) * F.lit(scale)).cast("bigint"),
+        F.lit(int(180 * scale) - 1),
     )
     counts = (
         points.where(in_world)

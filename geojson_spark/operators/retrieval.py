@@ -94,10 +94,12 @@ def bm25_topk(
     persisted (MEMORY_AND_DISK, spills instead of OOM) across its two
     consumers — one tokenize, not two. In that self-managed mode the
     bounded result (≤ |queries|·k rows) is materialized EAGERLY via
-    ``localCheckpoint`` and the corpus persist is released before
-    returning, so repeated calls in a long session leave no storage
-    blocks behind (house discipline — every operator cleans up its own
-    persists). Serving workloads that score many query batches should
+    ``localCheckpoint`` and the corpus-wide persist is released before
+    returning — so repeated calls leave no corpus-sized storage behind;
+    the tiny checkpoint blocks backing each returned frame are reclaimed
+    by the ContextCleaner when the frame is GC'd, the same discipline as
+    ``knn_join``'s eager localCheckpoint. Note this makes the call itself
+    run the corpus job. Serving workloads that score many query batches should
     pass ``corpus_stats=bm25_corpus_stats(docs)`` computed once, which
     skips the persist (and the eager materialization) entirely.
 

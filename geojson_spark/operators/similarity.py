@@ -42,9 +42,14 @@ def _cosine_col(num, qn2, vn2):
     sqrt + divide derivation the DuckDB oracle replays (``_COS_SQL``) and
     the Gram kernel in :func:`cosine_pairs_blocked` uses. Over
     integer-valued (quantized) components every sum is exact (< 2^53), so
-    the value is bit-identical across engines and accumulation orders."""
+    the value is bit-identical across engines and accumulation orders.
+    A NULL norm (null element inside a vector) propagates as a NULL
+    cosine — NOT 0.0 — so callers can drop malformed vectors instead of
+    ranking them as orthogonal."""
     den = F.sqrt(qn2 * vn2)
-    return F.when(den > F.lit(0.0), num / den).otherwise(F.lit(0.0))
+    return F.when(den > F.lit(0.0), num / den).when(
+        den.isNotNull(), F.lit(0.0)
+    )
 
 
 def cosine_topk_bruteforce(
@@ -85,6 +90,10 @@ def cosine_topk_bruteforce(
     scored = cand.withColumn(
         "cosine", _cosine_col(_dot_col(qd, vd), F.col("_qn2"), F.col("_vn2"))
     )
+    # ragged/null-element vectors fold to a NULL cosine under zip_with
+    # padding (where the old pandas kernel's np.stack raised) — drop them
+    # so malformed rows can never fill ranks when valid candidates run out
+    scored = scored.where(F.col("cosine").isNotNull())
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(v_id).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -173,14 +182,14 @@ def ivf_topk(
     v_assigned = vectors.withColumn(
         "_cl", F.element_at(_assign_udf(centroids, 1)(F.col(v_vec)), 1)
     ).withColumn("_vn2", _norm2_col(vd))
-    q_assigned = queries.withColumn("_cls", _assign_udf(centroids, n_probe)(F.col(q_vec)))
-    q_probes = q_assigned.select(
-        q_id, q_vec, F.explode("_cls").alias("_cl")
-    ).withColumn("_qn2", _norm2_col(qd))
+    q_assigned = queries.withColumn(
+        "_cls", _assign_udf(centroids, n_probe)(F.col(q_vec))
+    ).withColumn("_qn2", _norm2_col(qd))  # norm BEFORE the probe explode
+    q_probes = q_assigned.select(q_id, q_vec, "_qn2", F.explode("_cls").alias("_cl"))
     cand = F.broadcast(q_probes).join(v_assigned, "_cl")
     scored = cand.withColumn(
         "cosine", _cosine_col(_dot_col(qd, vd), F.col("_qn2"), F.col("_vn2"))
-    )
+    ).where(F.col("cosine").isNotNull())  # ragged vectors drop, never rank
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(v_id).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -166,7 +166,7 @@ def _has_toplevel_features(head: str) -> bool:
             elif collecting:
                 pending.append(ch)
             continue
-        if ch in " \t\r\n":
+        if ch in " \t\r\n\ufeff":  # utf-8 open() does not strip a BOM
             continue
         if closed_str is not None:
             last = closed_str if ch == ":" else ""

@@ -45,23 +45,55 @@ def test_stream_dedup_batch_skips_nested_map_columns(spark):
     assert out == {1: "a", 2: "z"}  # orderable columns still break the tie
 
 
-def test_rasterize_drops_out_of_range_points(spark):
+def test_rasterize_drops_out_of_range_clamps_boundary(spark):
     """Out-of-world coordinates must be filtered before tiling (a signed
-    ty would alias under the tile_id decode); in-range output unchanged."""
+    ty would alias under the tile_id decode); the LEGAL boundary
+    positions lon=180 / lat=90 clamp into the last pixel column/row."""
     from geojson_spark.operators.rasterize import rasterize_density
 
     pts = spark.createDataFrame(
         [
             Row(p=1, lon=10.2, lat=20.3),
             Row(p=2, lon=10.2, lat=20.3),
-            Row(p=3, lon=-200.0, lat=20.0),   # lon out of range
-            Row(p=4, lon=10.0, lat=-95.0),    # lat out of range
-            Row(p=5, lon=180.0, lat=0.0),     # right edge: dropped
+            Row(p=3, lon=-200.0, lat=20.0),   # lon out of range: dropped
+            Row(p=4, lon=10.0, lat=-95.0),    # lat out of range: dropped
+            Row(p=5, lon=180.0, lat=0.0),     # antimeridian: kept, clamped
+            Row(p=6, lon=0.0, lat=90.0),      # pole: kept, clamped
         ]
     )
-    tiles = rasterize_density(pts, cpd=1, res=32).collect()
-    assert sum(t.n_points for t in tiles) == 2  # only p1/p2 survive
-    assert all(t.tile_id >= 0 and t.tile_id % 4096 < 180 for t in tiles)
+    tiles = {t.tile_id: t for t in rasterize_density(pts, cpd=1, res=32).collect()}
+    assert sum(t.n_points for t in tiles.values()) == 4
+    assert all(t >= 0 and t % 4096 < 180 for t in tiles)
+    # p5 lands in the last lon tile (tx=359), last pixel column
+    assert 359 * 4096 + 90 in tiles
+    # p6 lands in the last lat tile (ty=179)
+    assert 180 * 4096 + 179 in tiles
+
+
+def test_sniff_tolerates_utf8_bom():
+    from geojson_spark.sources.geojson import _has_toplevel_features
+
+    assert _has_toplevel_features('﻿{"type": "FeatureCollection", "features": [')
+    assert not _has_toplevel_features('﻿["features", [1]]')
+
+
+def test_cosine_topk_drops_ragged_vectors(spark):
+    """A dim-mismatched vector folds to a NULL cosine under zip_with
+    padding — it must be excluded, never fill a rank."""
+    from geojson_spark.operators.similarity import cosine_topk_bruteforce
+
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.5, 0.5]),
+            Row(vec_id=3, embedding=[1.0]),          # ragged: dropped
+            Row(vec_id=4, embedding=[0.0, None]),    # null element: dropped
+        ]
+    )
+    qs = spark.createDataFrame([Row(q_id=0, q_vec=[1.0, 0.0])])
+    rows = cosine_topk_bruteforce(qs, vecs, 10).collect()
+    assert {r.vec_id for r in rows} == {1, 2}
+    assert all(r.cosine is not None for r in rows)
 
 
 def test_zonal_stats_matches_numpy_replay(spark):
