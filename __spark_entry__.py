@@ -325,7 +325,7 @@ def _minhash_oracle_sql(
     return f"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
+         list_filter(string_split_regex(lower(coalesce(text, '')), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
   FROM documents
 ),
 sh AS (
@@ -408,7 +408,7 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
     return f"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
+         list_filter(string_split_regex(lower(coalesce(text, '')), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
   FROM documents
 ),
 feats AS (
@@ -543,7 +543,8 @@ def _split_case_sql(key_sql: str, seed: int = 42, weights=None) -> str:
     items = list(weights.items())
     u = _sql_md5_prefix32(key_sql, seed)
     acc = 0.0
-    whens = []
+    # null ids route to the FIRST split, mirroring hash_split's policy
+    whens = [f"WHEN {key_sql} IS NULL THEN '{items[0][0]}'"]
     for name, wgt in items[:-1]:
         acc += wgt / total
         whens.append(f"WHEN {u} < {int(acc * scale)} THEN '{name}'")
@@ -562,7 +563,7 @@ def _shingle3_sql(src: str, extra_cols: str = "") -> str:
                 ELSE coalesce(array_to_string(words, ' '), '') END AS shingle
     FROM (
       SELECT doc_id{extra_cols},
-             list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
+             list_filter(string_split_regex(coalesce(text, ''), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
       FROM {src}
     ), LATERAL (
       SELECT unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
@@ -578,9 +579,10 @@ def _hash_split_oracle_sql() -> str:
 
 def _stratified_oracle_sql(fractions: dict, seed: int = 7) -> str:
     """Replicates stratified_sample — thresholds via the SAME
-    ``int(float(frac) * 2^32)`` conversion as the operator."""
+    ``int(float(frac) * 2^32)`` conversion as the operator, including its
+    domain-separated hash (':sample:' infix — see operators/splits)."""
     scale = float(1 << 32)
-    u = _sql_md5_prefix32("doc_id", seed)
+    u = _sql_md5_prefix32("doc_id", f"sample:{seed}")
     conds = " OR ".join(
         f"(lang = '{k}' AND {u} < {int(float(v) * scale)})"
         for k, v in fractions.items()
@@ -2515,7 +2517,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keepers": r"""
             WITH RECURSIVE w AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
+                     list_filter(string_split_regex(coalesce(text, ''), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
               FROM documents
             ), t AS (
               SELECT doc_id,
@@ -2692,7 +2694,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": r"""
             WITH RECURSIVE t AS (
               SELECT doc_id, doc_id % 8 AS shard,
-                     len(regexp_extract_all(text, '[^ \t\n\r\f]+'))::BIGINT AS tok,
+                     coalesce(len(regexp_extract_all(text, '[^ \t\n\r\f]+')), 0)::BIGINT AS tok,
                      row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
               FROM documents
             ), r AS (
@@ -2713,7 +2715,7 @@ def oracle_sql() -> dict[str, str]:
         "shingle_jaccard": r"""
             WITH w AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
+                     list_filter(string_split_regex(coalesce(text, ''), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
               FROM documents
             ), t AS (
               SELECT doc_id,

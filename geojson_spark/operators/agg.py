@@ -134,7 +134,11 @@ def tile_pyramid(
     collapses most of the explode fan-out, so the shuffled volume is
     ~Σ_level distinct tiles, not points × levels.
 
-    With ``value_col``, also sums it per tile (e.g. quantity heatmaps).
+    With ``value_col``, also sums ``floor(value)`` per tile — the value is
+    integerized PER ROW before summing (the one derivation Spark and a SQL
+    oracle define identically), so fractional values undercount by up to
+    1 per point; pre-scale to integer units (cents, milli) when the
+    fractional part matters.
     """
     from geojson_spark.functions.spark_funcs import grid_parent
 

@@ -231,8 +231,18 @@ def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, k: int):
     transform+element_at: Catalyst inlines the ``words`` subexpression at
     every reference, so the element_at form re-ran the regex split k times
     PER SHINGLE (~20× slower end-to-end); slices reference ``words`` only k
-    times per row."""
-    words = F.filter(F.split(F.col(text_col), T.WS_SPLIT_RE), lambda x: x != F.lit(""))
+    times per row.
+
+    Null text coalesces to '' — a null doc gets the same single ''
+    shingle an empty doc gets, matching the DuckDB oracles'
+    ``coalesce(array_to_string(words, ' '), '')`` derivation. Without the
+    coalesce a null doc's ``sh`` is NULL and the row silently VANISHES
+    from every downstream explode (contamination reports, set-similarity,
+    minhash verify) while the oracle still counts it."""
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), T.WS_SPLIT_RE),
+        lambda x: x != F.lit(""),
+    )
     n = F.size(words)
     m = n - (k - 1)  # number of shingles; CASE guards m >= 1 (lazy branches)
     sh = F.slice(words, 1, m)
@@ -432,12 +442,14 @@ def hamming_pairs(
     chunk_structs = []
     for i in range(n_chunks):
         lo, width = bounds[i], bounds[i + 1] - bounds[i]
-        mask = (1 << width) - 1
+        shifted = F.shiftrightunsigned(F.col("h"), lo)
+        # width == 64 (max_hamming=0: one full-hash chunk) needs no mask —
+        # and (1 << 64) - 1 would overflow F.lit's signed-long conversion
+        chunk = (
+            shifted if width >= 64 else shifted.bitwiseAND(F.lit((1 << width) - 1))
+        )
         chunk_structs.append(
-            F.struct(
-                F.lit(i).alias("chunk_no"),
-                F.shiftrightunsigned(F.col("h"), lo).bitwiseAND(F.lit(mask)).alias("chunk"),
-            )
+            F.struct(F.lit(i).alias("chunk_no"), chunk.alias("chunk"))
         )
     chunks = keyed.select(
         "id", "h", F.explode(F.array(*chunk_structs)).alias("c")
@@ -546,8 +558,10 @@ def embedding_dedup(
     # payload through it would multiply shuffle volume by the full probe
     # fan-out (the minhash band join avoids the same hazard — ids, not
     # payloads, cross the shuffle). Vectors re-attach to the deduplicated
-    # candidate pairs afterwards via two id equi-joins.
-    keyed = embeddings.select(
+    # candidate pairs afterwards via two id equi-joins. _spread first, like
+    # the minhash/simhash siblings: a small-parquet table is one input
+    # partition, which would run every hyperplane projection on one core.
+    keyed = _spread(embeddings).select(
         F.col(id_col).alias("id"),
         F.explode(_buckets(F.col(vec_col))).alias("bucket"),
     )

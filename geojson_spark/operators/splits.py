@@ -12,11 +12,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _hash_unit(key: Column, seed: int) -> Column:
+def _hash_unit(key: Column, seed: int | str) -> Column:
     """Deterministic uniform value in [0, 2^32) from md5(key ':' seed) —
     the stable-across-runs/cluster-sizes alternative to rand(): a row's
     split never changes when the table is repartitioned or grown, which
-    is what makes incremental dataset refreshes reproducible."""
+    is what makes incremental dataset refreshes reproducible. ``seed``
+    may be a string to DOMAIN-SEPARATE different consumers (sampling vs
+    splitting) — two operators hashing the same key with the same integer
+    seed would be perfectly correlated, not independent."""
     h = F.md5(F.concat(key.cast("string"), F.lit(f":{seed}")))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
 
@@ -35,21 +38,25 @@ def hash_split(
     ``weights`` maps split name → fraction (normalized internally; dict
     order fixes the threshold order). One Column expression: md5 → 32-bit
     integer → cumulative-weight thresholds. No shuffle at all.
+
+    A NULL id has no hash, so every threshold comparison is NULL — such
+    rows are routed DELIBERATELY to the FIRST split (train by default):
+    id-less rows are corrupt, and quietly concentrating them in the last
+    split (previously 'test', via the CASE fall-through) would contaminate
+    the most eval-sensitive split.
     """
     if weights is None:
         weights = {"train": 0.9, "val": 0.05, "test": 0.05}
     total = float(sum(weights.values()))
     u = _hash_unit(F.col(id_col), seed)
     scale = float(1 << 32)
-    expr = None
-    acc = 0.0
     items = list(weights.items())
+    expr = F.when(F.col(id_col).isNull(), F.lit(items[0][0]))
+    acc = 0.0
     for name, wgt in items[:-1]:
         acc += wgt / total
-        cond = u < int(acc * scale)
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    last = items[-1][0]
-    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+        expr = expr.when(u < int(acc * scale), F.lit(name))
+    expr = expr.otherwise(F.lit(items[-1][0]))
     return df.withColumn(split_col, expr)
 
 
@@ -67,9 +74,15 @@ def stratified_sample(
     partitioning, cluster size, or table growth, so incremental refreshes
     are stable). Strata missing from ``fractions`` are dropped. Pure
     Column expression; no shuffle, no RNG state.
+
+    The hash is domain-separated from :func:`hash_split`'s
+    (``md5(id ':sample:' seed)`` vs ``md5(id ':' seed)``): with a shared
+    derivation and equal seeds, sampling would be perfectly correlated
+    with split assignment — e.g. sampling the 'test' split at frac ≤
+    1 − test-threshold would return ZERO rows, a silent severe bias.
     """
     scale = float(1 << 32)
-    u = _hash_unit(F.col(id_col), seed)
+    u = _hash_unit(F.col(id_col), f"sample:{seed}")
     expr = None
     for stratum, frac in fractions.items():
         cond = (F.col(strata_col) == F.lit(stratum)) & (u < int(float(frac) * scale))
@@ -176,6 +189,9 @@ def pack_sequences(
     keyed = docs.select(
         F.col(id_col).cast("long").alias(id_col),
         F.col(shard_col).cast("long").alias(shard_col),
-        F.col(tokens_col),
+        # a NULL token count (e.g. n_tokens derived from a null text) packs
+        # as 0 — it must not reach the kernel as NaN, where astype(int)
+        # would fail the whole stage with an opaque PythonException
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)).alias(tokens_col),
     )
     return keyed.groupBy(shard_col).applyInPandas(pack, out_schema)

@@ -133,3 +133,73 @@ def test_zonal_stats_matches_numpy_replay(spark):
             s += v
             mx = max(mx, v)
     assert got == {1: (n_px, s, mx)}
+
+
+def test_hamming_pairs_max_hamming_zero(spark):
+    """max_hamming=0 (one full 64-bit chunk) must not overflow the mask
+    literal; exact-hash pairs still come out."""
+    from geojson_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame(
+        [Row(id=1, hash=-42), Row(id=2, hash=-42), Row(id=3, hash=7)]
+    )
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in hamming_pairs(df, max_hamming=0).collect()}
+    assert got == {(1, 2, 0)}
+
+
+def test_hash_split_null_id_goes_to_first_split(spark):
+    from geojson_spark.operators.splits import hash_split
+
+    df = spark.createDataFrame([Row(doc_id=None), Row(doc_id=1)],
+                               "doc_id long")
+    got = {r.doc_id: r.split for r in hash_split(df).collect()}
+    assert got[None] == "train"  # deliberately NOT the test split
+
+
+def test_stratified_sample_independent_of_split_assignment(spark):
+    """With the shared default seed the sampler hash must be
+    domain-separated from hash_split's: sampling at fraction f inside ANY
+    split must keep ~f of it (a correlated hash keeps 0 of 'test')."""
+    from geojson_spark.operators.splits import hash_split, stratified_sample
+
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    test_split = hash_split(docs).where(F.col("split") == "test")
+    n_test = test_split.count()
+    assert n_test > 100
+    kept = stratified_sample(test_split, strata_col="lang",
+                             fractions={"en": 0.5}).count()
+    assert 0.35 * n_test < kept < 0.65 * n_test
+
+
+def test_pack_sequences_null_tokens_pack_as_zero(spark):
+    from geojson_spark.operators.splits import pack_sequences
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, shard=0, n_tokens=100),
+         Row(doc_id=2, shard=0, n_tokens=None),
+         Row(doc_id=3, shard=0, n_tokens=200)],
+        "doc_id long, shard long, n_tokens long",
+    )
+    rows = {r.doc_id: r.bin_no for r in pack_sequences(docs, capacity=256).collect()}
+    assert rows == {1: 0, 2: 0, 3: 1}  # null packs as 0 tokens, no crash
+
+
+def test_contamination_counts_null_text_docs(spark):
+    """A null-text test doc must appear with the single '' shingle (the
+    oracle's coalesce semantics), not silently vanish."""
+    from geojson_spark.operators.splits import contamination_check
+
+    train = spark.createDataFrame([Row(doc_id=10, text="a b c")])
+    test = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d"), Row(doc_id=2, text=None),
+         Row(doc_id=3, text="")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_shingles, r.n_contaminated)
+           for r in contamination_check(train, test).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] == (1, 0) and got[3] == (1, 0)
+    assert got[1][0] == 2  # 'a b c', 'b c d'
