@@ -2312,8 +2312,8 @@ def oracle_sql() -> dict[str, str]:
         "events_windows": """
             WITH e AS (
               SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-                     (user_id * 7919) % 360000 / 1000.0 - 180.0 AS lon,
-                     (user_id * 104729) % 170000 / 1000.0 - 85.0 AS lat,
+                     ((user_id * 7919) % 360000 + 360000) % 360000 / 1000.0 - 180.0 AS lon,
+                     ((user_id * 104729) % 170000 + 170000) % 170000 / 1000.0 - 85.0 AS lat,
                      event_type
               FROM events
             )

@@ -280,15 +280,22 @@ def xyz_to_cell_id(x, y, z, level: int = 13) -> np.ndarray:
 
 def s2_cell_id(lon_deg, lat_deg, level: int = 13) -> np.ndarray:
     """lon/lat arrays → int64 S2-style cell ids at ``level``. Non-finite
-    coordinates map to the sentinel -1 (never a valid id — valid ids carry
-    the trailing level marker), so null-coordinate rows cannot silently
-    join to a real cell."""
+    OR out-of-range coordinates (|lon| > 180, |lat| > 90) map to the
+    sentinel -1 (never a valid id — valid ids carry the trailing level
+    marker), so dirty rows cannot silently join to a real cell:
+    ``lonlat_to_xyz``'s √(1−sin²) cosine reconstruction is only valid
+    inside the range (a finite lon = 360 would otherwise land on the
+    ANTIPODAL cell, a silently wrong join key)."""
     lon = np.asarray(lon_deg, dtype=np.float64)
     lat = np.asarray(lat_deg, dtype=np.float64)
-    finite = np.isfinite(lon) & np.isfinite(lat)
-    x, y, z = lonlat_to_xyz(np.where(finite, lon, 0.0), np.where(finite, lat, 0.0))
+    with np.errstate(invalid="ignore"):
+        valid = (
+            np.isfinite(lon) & np.isfinite(lat)
+            & (np.abs(lon) <= 180.0) & (np.abs(lat) <= 90.0)
+        )
+    x, y, z = lonlat_to_xyz(np.where(valid, lon, 0.0), np.where(valid, lat, 0.0))
     cell = xyz_to_cell_id(x, y, z, level)
-    return np.where(finite, cell, np.int64(-1))
+    return np.where(valid, cell, np.int64(-1))
 
 
 def s2_parent(cell_id: np.ndarray, level: int) -> np.ndarray:
@@ -328,8 +335,14 @@ def s2_from_face_ij(face, i, j, level: int) -> np.ndarray:
 
 
 def s2_cell_center(cell_id, level: int):
-    """Cell id → (lon, lat) of cell center (degrees)."""
+    """Cell id → (lon, lat) of cell center (degrees). Sentinel (-1) or
+    corrupt ids whose face decodes to 6/7 return (NaN, NaN) — the fill
+    loop below only covers faces 0..5, and uninitialized slots would
+    otherwise leak garbage coordinates. NOTE: a negative int64 id is NOT
+    itself a sentinel — faces 4 and 5 set the sign bit legitimately; the
+    -1 sentinel decodes to face 7, so ``face > 5`` is the one test."""
     face, i, j = s2_to_face_ij(cell_id, level)
+    bad = np.atleast_1d(face > 5)
     n = float(np.int64(1) << level)
     s = (i.astype(np.float64) + 0.5) / n
     t = (j.astype(np.float64) + 0.5) / n
@@ -344,7 +357,7 @@ def s2_cell_center(cell_id, level: int):
     #  f3: u=z/x, v=y/x, x<0      →  (-1, -v, -u)
     #  f4: u=z/y, v=-x/y, y<0     →  (v, -1, -u)
     #  f5: u=-y/z, v=-x/z, z<0    →  (v, u, -1)
-    xyz = np.empty((3, u.shape[0]), dtype=np.float64)
+    xyz = np.full((3, u.shape[0]), np.nan, dtype=np.float64)
     frames = [
         (one, u, v),
         (-u, one, v),
@@ -360,10 +373,11 @@ def s2_cell_center(cell_id, level: int):
             xyz[0][m] = fx[m]
             xyz[1][m] = fy[m]
             xyz[2][m] = fz[m]
-    norm = np.sqrt((xyz**2).sum(axis=0))
-    xn, yn, zn = xyz[0] / norm, xyz[1] / norm, xyz[2] / norm
-    lon = np.degrees(np.arctan2(yn, xn))
-    lat = np.degrees(np.arcsin(np.clip(zn, -1, 1)))
+    with np.errstate(invalid="ignore"):
+        norm = np.sqrt((xyz**2).sum(axis=0))
+        xn, yn, zn = xyz[0] / norm, xyz[1] / norm, xyz[2] / norm
+        lon = np.where(bad, np.nan, np.degrees(np.arctan2(yn, xn)))
+        lat = np.where(bad, np.nan, np.degrees(np.arcsin(np.clip(zn, -1, 1))))
     return lon, lat
 
 
@@ -374,8 +388,15 @@ def s2_k_ring(cell_id, level: int, k: int = 1) -> np.ndarray:
     cell (harmless duplicates for join fan-out). Cross-face adjacency is a
     documented limitation (SURVEY.md §7.3); the kNN operator widens rings
     until satisfied, and oracle-checked kNN uses the grid index instead.
+    Sentinel (-1) / corrupt-face ids propagate as all-(-1) rows — like
+    ``hex_k_ring`` — instead of fabricating face-7 neighbor ids that could
+    equi-join to nothing or, worse, each other.
     """
-    face, i, j = s2_to_face_ij(cell_id, level)
+    cid_in = np.atleast_1d(np.asarray(cell_id, dtype=np.int64))
+    face, i, j = s2_to_face_ij(cid_in, level)
+    # faces 4/5 set the int64 sign bit legitimately; the -1 sentinel (and
+    # any corrupt id) decodes to face 6/7, so face > 5 is the one test
+    sentinel = face > 5
     n = np.int64(1) << level
     out = []
     for di in range(-k, k + 1):
@@ -383,8 +404,13 @@ def s2_k_ring(cell_id, level: int, k: int = 1) -> np.ndarray:
             ii = i + di
             jj = j + dj
             ok = (ii >= 0) & (ii < n) & (jj >= 0) & (jj < n)
-            cid = s2_from_face_ij(face, np.clip(ii, 0, n - 1), np.clip(jj, 0, n - 1), level)
-            out.append(np.where(ok, cid, np.asarray(cell_id, dtype=np.int64)))
+            cid = s2_from_face_ij(
+                np.where(sentinel, 0, face),
+                np.clip(ii, 0, n - 1),
+                np.clip(jj, 0, n - 1),
+                level,
+            )
+            out.append(np.where(sentinel, np.int64(-1), np.where(ok, cid, cid_in)))
     return np.stack(out, axis=1)
 
 

@@ -42,8 +42,18 @@ def _first_ring_n(geometry: Column) -> Column:
 
 def _ring_seq(geometry: Column) -> Column:
     """Edge indices 1..n-1 of the first closed dim-2 ring (position n
-    repeats position 1, so edges don't wrap)."""
-    return F.sequence(F.lit(1), _first_ring_n(geometry) - 1)
+    repeats position 1, so edges don't wrap).
+
+    Degenerate geometries (Point: n = 1; empty LineString/ring: n ≤ 0)
+    yield an EMPTY sequence — ``F.sequence(1, 0)`` steps DOWNWARD in
+    Spark, and the resulting indices 0 and 2·n+… drove ``element_at``
+    out of bounds, aborting the whole job on one degenerate feature.
+    Measures over the empty sequence fold to 0.0 (area/perimeter) or
+    NaN (centroid of nothing)."""
+    n = _first_ring_n(geometry)
+    return F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
 
 
 def st_area(geometry: Column) -> Column:
@@ -75,12 +85,16 @@ def st_perimeter(geometry: Column) -> Column:
 
 def st_centroid_xy(geometry: Column) -> tuple[Column, Column]:
     """Vertex-mean centroid of the first ring's distinct vertices (the
-    closing duplicate excluded): (Σxᵢ/(n−1), Σyᵢ/(n−1))."""
+    closing duplicate excluded): (Σxᵢ/(n−1), Σyᵢ/(n−1)). Degenerate
+    geometries (no edges) yield NULL — the divisor is nulled when the
+    edge sequence is empty, since ANSI mode (Spark 4's default) turns a
+    0.0 divisor into a job-aborting DIVIDE_BY_ZERO."""
     c = geometry["coords"]
     seq = _ring_seq(geometry)
     n1 = F.size(seq).cast("double")
-    cx = _fold_sum(F.transform(seq, lambda i: _xy(c, i)[0])) / n1
-    cy = _fold_sum(F.transform(seq, lambda i: _xy(c, i)[1])) / n1
+    den = F.when(n1 > 0, n1)  # NULL divisor → NULL centroid, never an error
+    cx = _fold_sum(F.transform(seq, lambda i: _xy(c, i)[0])) / den
+    cy = _fold_sum(F.transform(seq, lambda i: _xy(c, i)[1])) / den
     return cx, cy
 
 
@@ -109,8 +123,20 @@ def st_simplify(geometry: Column, tolerance: float) -> Column:
             coords = np.asarray(
                 [] if g.get("coords") is None else g["coords"], dtype=np.float64
             )
+            n_pos = len(coords) // dim
             ro_raw = g.get("ring_offsets")
-            ro = [0] if ro_raw is None else [int(v) for v in ro_raw]
+            # missing/degenerate offsets ⇒ ONE ring spanning all coords
+            # (the old [0] fallback iterated zero rings and silently
+            # ERASED the geometry); offsets that stop short of the coords
+            # array get a final ring appended so trailing positions are
+            # simplified instead of dropped
+            ro = (
+                [0, n_pos]
+                if ro_raw is None or len(ro_raw) < 2
+                else [int(v) for v in ro_raw]
+            )
+            if ro[-1] < n_pos:
+                ro.append(n_pos)
             new_coords: list[float] = []
             new_ro = [0]
             for r in range(len(ro) - 1):

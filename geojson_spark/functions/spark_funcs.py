@@ -19,7 +19,10 @@ from geojson_spark.functions.text import WS_SPLIT_RE
 
 # SQL-reproducible grid (FIXTURES.md §4): the DuckDB-oracle stand-in index.
 GRID_K = 4096
-EARTH_RADIUS_KM = 6371.0088
+# single source of truth lives in geometry.py (the NumPy kernel); the
+# Column expression and haversine_sql (via repr) share the SAME object so
+# the three derivations of the radius cannot drift
+from geojson_spark.functions.geometry import EARTH_RADIUS_KM  # noqa: E402
 
 
 def words(text_col: Column) -> Column:
@@ -39,7 +42,18 @@ def grid_cell(lon: Column, lat: Column, cells_per_degree: int = 8) -> Column:
 
     Matches the oracle SQL exactly:
     ``cast(floor((lon+180)*c) as bigint)*4096 + cast(floor((lat+90)*c) as bigint)``
+
+    The gx·GRID_K + gy packing is injective only while 180·c < GRID_K
+    (gy's range must fit under the multiplier) — beyond c = 22 distant
+    cells would silently SHARE an id, merging their aggregates in both
+    the engine and the oracle (the oracle replays the same collision, so
+    the hash gate could never catch it). Guarded loudly instead.
     """
+    if 180 * cells_per_degree >= GRID_K:
+        raise ValueError(
+            f"cells_per_degree={cells_per_degree} overflows the GRID_K="
+            f"{GRID_K} packing (needs 180*c < {GRID_K}, i.e. c <= 22)"
+        )
     gx = F.floor((lon + F.lit(180.0)) * F.lit(float(cells_per_degree))).cast("bigint")
     gy = F.floor((lat + F.lit(90.0)) * F.lit(float(cells_per_degree))).cast("bigint")
     return (gx * F.lit(GRID_K) + gy).alias("cell_id")
@@ -72,7 +86,7 @@ def haversine_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colu
 def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     """The DuckDB-side twin of haversine_km (for oracle_sql strings)."""
     return (
-        f"2.0 * 6371.0088 * asin(least(1.0, sqrt("
+        f"2.0 * {EARTH_RADIUS_KM!r} * asin(least(1.0, sqrt("
         f"pow(sin((radians({lat2}) - radians({lat1}))/2), 2) + "
         f"cos(radians({lat1})) * cos(radians({lat2})) * "
         f"pow(sin((radians({lon2}) - radians({lon1}))/2), 2))))"
@@ -141,8 +155,12 @@ def derived_lonlat(key: Column, prime_lon: int = 7919, prime_lat: int = 104729):
 
 
 def derived_lonlat_sql(key: str, prime_lon: int = 7919, prime_lat: int = 104729):
-    lon = f"(({key} * {prime_lon}) % 360000) / 1000.0 - 180.0"
-    lat = f"(({key} * {prime_lat}) % 170000) / 1000.0 - 85.0"
+    """DuckDB twin of :func:`derived_lonlat`. The double-mod makes % match
+    Spark's pmod for NEGATIVE keys too (DuckDB % follows the dividend's
+    sign, so a bare % would put lon outside [-180, 180) and hash-diverge
+    from the engine on any fixture with negative keys)."""
+    lon = f"((({key} * {prime_lon}) % 360000 + 360000) % 360000) / 1000.0 - 180.0"
+    lat = f"((({key} * {prime_lat}) % 170000 + 170000) % 170000) / 1000.0 - 85.0"
     return lon, lat
 
 

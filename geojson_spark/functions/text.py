@@ -23,7 +23,9 @@ WS_SPLIT_RE = WS_CLASS + "+"
 WORD_RE = r"[^ \t\n\x0B\f\r]+"
 
 _WORD_RE = re.compile(WORD_RE)
-_PUNCT_RE = re.compile(r"[.,!?;:]")
+# the ONE punctuation class (quality_score's oracle replays it in SQL —
+# a second inline spelling could silently drift)
+PUNCT_CLASS = r"[.,!?;:]"
 
 # tiny per-language stopword profiles for the n-gram/stopword language-ID
 # heuristic (public common-word lists)
@@ -40,7 +42,7 @@ def token_count(texts: pd.Series) -> np.ndarray:
 
 
 def punct_count(texts: pd.Series) -> np.ndarray:
-    return texts.fillna("").str.count(r"[.,!?;:]").to_numpy(np.int64)
+    return texts.fillna("").str.count(PUNCT_CLASS).to_numpy(np.int64)
 
 
 def quality_score(texts: pd.Series) -> np.ndarray:

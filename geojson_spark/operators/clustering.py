@@ -51,12 +51,16 @@ def dbscan(
 
     ``cpd`` (cells per degree for the neighbor join) defaults to
     ``max(1, round(1/eps))`` so the ring join explodes ~5×5 cells per
-    point regardless of eps.
+    point regardless of eps — clamped to 22, the largest cells-per-degree
+    ``grid_cell``'s GRID_K packing admits (a GPS-jitter eps of 1e-3°
+    would otherwise request cpd=1000 and trip the packing guard; the
+    ring join stays complete at ANY cpd since ring = ceil(eps·cpd)+1,
+    the finer grid is purely a candidate-pruning win).
     """
     from geojson_spark.operators.joins import distance_join
 
     if cpd is None:
-        cpd = max(1, int(round(1.0 / eps)))
+        cpd = min(22, max(1, int(round(1.0 / eps))))
 
     q = points.select(
         F.col(id_col).cast("bigint").alias("q_id"),

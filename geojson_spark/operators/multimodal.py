@@ -18,9 +18,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 
-from geojson_spark.sources.images import average_phash, decode_image
+from geojson_spark.sources.images import average_phash, decode_image, encode_with_phash
 
 _ENGINE_FMTS = {"raw", "rle", "q8"}
+
+
+def _spread_scan(df: DataFrame) -> DataFrame:
+    """Every operator here is an expensive per-row decode loop inside
+    mapInPandas — one task per input partition, so a small parquet (one
+    partition) would serialize the whole loop on a single core (CLAUDE.md
+    small-parquet rule; same guard as images.verify_invariants)."""
+    from geojson_spark.functions.spark_funcs import ensure_min_partitions
+
+    return ensure_min_partitions(df)
 
 
 def decode_any(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
@@ -68,7 +78,9 @@ def image_features(images: DataFrame, out_size: int = 8) -> DataFrame:
         "image_id string, mean_r double, mean_g double, mean_b double, "
         "std double, phash2 long, thumb array<double>"
     )
-    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(extract, schema=schema)
+    return _spread_scan(
+        images.select("image_id", "bytes", "fmt", "w", "h")
+    ).mapInPandas(extract, schema=schema)
 
 
 def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
@@ -96,7 +108,11 @@ def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=["video_id", "frame_no", "mean_px"])
 
-    return videos.mapInPandas(sample, schema="video_id string, frame_no long, mean_px double")
+    # prune to the consumed columns BEFORE Arrow serialization (captions /
+    # embeddings / wide metadata must not ride the binary hot path)
+    return _spread_scan(videos.select("video_id", "bytes", "fmt", "w", "h")).mapInPandas(
+        sample, schema="video_id string, frame_no long, mean_px double"
+    )
 
 
 def audio_features(
@@ -108,7 +124,9 @@ def audio_features(
     PCM (deterministic fake for tests); compressed containers (mp3/ogg/
     flac) raise NotImplementedError at the decode seam, mirroring
     ``decode_any``. Per ``frame_samples`` window: RMS, zero-crossing
-    count, peak — the standard cheap VAD/quality signals. All math is
+    count, peak — the standard cheap VAD/quality signals. A trailing
+    partial window is measured as its own (shorter) frame — never
+    fabricated as silence — and an empty clip emits no rows. All math is
     vectorized NumPy over the whole clip (reshape + axis reductions);
     mapInPandas keeps the binary column in Arrow buffers end-to-end.
     """
@@ -121,23 +139,34 @@ def audio_features(
                     raise NotImplementedError(f"no audio codec for fmt={r.fmt!r}")
                 pcm = np.frombuffer(r.bytes, dtype="<i2").astype(np.float64) / 32768.0
                 n_frames = len(pcm) // frame_samples
-                if n_frames == 0:
-                    rows.append({id_col: getattr(r, id_col), "frame_no": 0,
-                                 "rms": 0.0, "zero_crossings": 0, "peak": 0.0})
-                    continue
-                fr = pcm[: n_frames * frame_samples].reshape(n_frames, frame_samples)
-                rms = np.sqrt((fr * fr).mean(axis=1))
-                zc = (np.diff(np.signbit(fr), axis=1) != 0).sum(axis=1)
-                peak = np.abs(fr).max(axis=1)
-                for i in range(n_frames):
-                    rows.append({id_col: getattr(r, id_col), "frame_no": i,
-                                 "rms": float(rms[i]), "zero_crossings": int(zc[i]),
-                                 "peak": float(peak[i])})
+                if n_frames:
+                    fr = pcm[: n_frames * frame_samples].reshape(n_frames, frame_samples)
+                    rms = np.sqrt((fr * fr).mean(axis=1))
+                    zc = (np.diff(np.signbit(fr), axis=1) != 0).sum(axis=1)
+                    peak = np.abs(fr).max(axis=1)
+                    for i in range(n_frames):
+                        rows.append({id_col: getattr(r, id_col), "frame_no": i,
+                                     "rms": float(rms[i]), "zero_crossings": int(zc[i]),
+                                     "peak": float(peak[i])})
+                # partial tail (or a clip shorter than one frame): measure
+                # the REAL samples — fabricating a silent rms=0 frame made
+                # a loud sub-frame clip indistinguishable from silence to
+                # any downstream VAD/quality gate. Truly empty clips emit
+                # no rows (there is nothing to measure).
+                tail = pcm[n_frames * frame_samples :]
+                if tail.size:
+                    rows.append({
+                        id_col: getattr(r, id_col), "frame_no": n_frames,
+                        "rms": float(np.sqrt((tail * tail).mean())),
+                        "zero_crossings": int((np.diff(np.signbit(tail)) != 0).sum()),
+                        "peak": float(np.abs(tail).max()),
+                    })
             yield pd.DataFrame(
                 rows, columns=[id_col, "frame_no", "rms", "zero_crossings", "peak"]
             )
 
-    return audio.mapInPandas(
+    # prune to the consumed columns before Arrow serialization
+    return _spread_scan(audio.select(id_col, "bytes", "fmt")).mapInPandas(
         extract,
         schema=f"{id_col} string, frame_no long, rms double, zero_crossings long, peak double",
     )
@@ -156,33 +185,29 @@ def resize_images(
     output row is O(out_w·out_h), so the operator SHRINKS data for
     thumbnailing — the common case — and the scan prunes all other
     columns. No shuffle."""
-    from geojson_spark.sources.images import encode_image, q8_quantize
-
     def work(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
                 px = decode_any(r.bytes, r.fmt, r.w, r.h)
                 rp = resize_nearest(px, r.w, r.h, out_w, out_h)
-                # phash must describe the STORED bytes: with the lossy q8
-                # codec, hash the quantized pixels a decoder will see, so
-                # recompute-from-bytes checks and hamming dedup agree
-                hp = q8_quantize(rp) if out_fmt == "q8" else rp
+                # stored-bytes phash discipline lives in encode_with_phash
+                buf, ph = encode_with_phash(rp, out_fmt, out_w, out_h)
                 rows.append(
                     {
                         "image_id": r.image_id,
-                        "bytes": encode_image(rp, out_fmt),
+                        "bytes": buf,
                         "w": out_w,
                         "h": out_h,
                         "fmt": out_fmt,
-                        "phash": average_phash(hp, out_w, out_h),
+                        "phash": ph,
                     }
                 )
             yield pd.DataFrame(
                 rows, columns=["image_id", "bytes", "w", "h", "fmt", "phash"]
             )
 
-    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+    return _spread_scan(images.select("image_id", "bytes", "fmt", "w", "h")).mapInPandas(
         work, schema="image_id string, bytes binary, w int, h int, fmt string, phash long"
     )
 
@@ -200,8 +225,6 @@ def tile_images(
     feed the SAME hamming-join dedup as whole images (e.g. finding images
     that share a crop). Fan-out = ceil(w/tile_w)·ceil(h/tile_h); no
     shuffle in the operator itself."""
-    from geojson_spark.sources.images import encode_image, q8_quantize
-
     def work(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
@@ -212,19 +235,18 @@ def tile_images(
                         t = img[ty : ty + tile_h, tx : tx + tile_w]
                         th, tw = t.shape[0], t.shape[1]
                         flat = np.ascontiguousarray(t).reshape(-1)
-                        # hash the stored (post-quantization) pixels for
-                        # lossy codecs — see resize_images
-                        hp = q8_quantize(flat) if out_fmt == "q8" else flat
+                        # stored-bytes phash discipline: encode_with_phash
+                        buf, ph = encode_with_phash(flat, out_fmt, tw, th)
                         rows.append(
                             {
                                 "image_id": r.image_id,
                                 "tile_x": tx // tile_w,
                                 "tile_y": ty // tile_h,
-                                "bytes": encode_image(flat, out_fmt),
+                                "bytes": buf,
                                 "w": tw,
                                 "h": th,
                                 "fmt": out_fmt,
-                                "phash": average_phash(hp, tw, th),
+                                "phash": ph,
                             }
                         )
             yield pd.DataFrame(
@@ -232,7 +254,7 @@ def tile_images(
                 columns=["image_id", "tile_x", "tile_y", "bytes", "w", "h", "fmt", "phash"],
             )
 
-    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+    return _spread_scan(images.select("image_id", "bytes", "fmt", "w", "h")).mapInPandas(
         work,
         schema=(
             "image_id string, tile_x int, tile_y int, bytes binary, "
@@ -266,6 +288,6 @@ def luma_histogram(images: DataFrame, bins: int = 16) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["image_id", "hist", "brightness_milli"])
 
-    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+    return _spread_scan(images.select("image_id", "bytes", "fmt", "w", "h")).mapInPandas(
         work, schema="image_id string, hist array<long>, brightness_milli long"
     )

@@ -62,6 +62,12 @@ def rasterize_density(
     """
     from geojson_spark.sources.images import average_phash, decode_image, encode_image
 
+    if 180 * cpd >= GRID_K:
+        raise ValueError(
+            f"cpd={cpd} overflows the tile packing tx*{GRID_K}+ty "
+            f"(needs 180*cpd < {GRID_K}, i.e. cpd <= 22) — distant tiles "
+            "would silently share an id"
+        )
     scale = float(cpd * res)
     # world-domain filter + closed-edge clamp: points outside the CLOSED
     # GeoJSON domain lon ∈ [-180, 180] × lat ∈ [-90, 90] (bad data, NaN)

@@ -28,13 +28,26 @@ def write_bucketed(
 
     ``sort_col`` additionally sorts within buckets (enables sort-merge
     without a per-task sort). Overwrites any existing table of that name.
+
+    ``table_name`` is validated up front (the built-in catalog only
+    accepts ``[A-Za-z0-9_]`` parts — a name like 'tiles-v2' fails DEEP
+    inside saveAsTable otherwise) and backtick-quoted before being
+    interpolated into the DROP statement, closing the SQL-injection hole
+    an unquoted caller-supplied name would open.
     """
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_]+(\.[A-Za-z0-9_]+)*", table_name):
+        raise ValueError(
+            f"invalid table name {table_name!r}: parts must match [A-Za-z0-9_]+"
+        )
+    quoted = ".".join(f"`{part}`" for part in table_name.split("."))
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {quoted}")
     w = df.write.mode("overwrite").option("path", path).bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         w = w.sortBy(sort_col)
-    w.saveAsTable(table_name)
+    w.saveAsTable(quoted)
 
 
 def bucketed_join(

@@ -111,6 +111,17 @@ def encode_image(px: np.ndarray, fmt: str) -> bytes:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
+def encode_with_phash(px: np.ndarray, fmt: str, w: int, h: int) -> tuple[bytes, int]:
+    """Encode pixels AND hash what the stored bytes will decode to — for
+    lossy codecs (q8) the phash must describe the post-quantization
+    pixels a decoder sees, or recompute-from-bytes checks and hamming
+    dedup silently disagree. One definition so every image producer
+    (resize, tiling, rasterize) keeps the invariant in lockstep; a new
+    lossy codec added to ``encode_image`` must be mirrored HERE only."""
+    hp = q8_quantize(px) if fmt == "q8" else px
+    return encode_image(px, fmt), average_phash(hp, w, h)
+
+
 def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     """bytes → flat uint8 pixel array of length w·h·3."""
     if fmt == "raw" or fmt == "q8":
@@ -237,12 +248,30 @@ def verify_invariants(images_df):
 
     def check(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            caps, pixels = regen_caption_and_pixels(pdf["image_id"])
+            # a corrupted image_id (the regen oracle's only input) must
+            # COUNT as a failed row like every other kind of damage — the
+            # bare batch call would crash the task on one mangled id and
+            # report nothing. Fast path: one batch regen; only a failing
+            # batch falls back to per-row isolation.
+            try:
+                caps, pixels = regen_caption_and_pixels(pdf["image_id"])
+            except Exception:
+                caps, pixels = [], []
+                for s in pdf["image_id"]:
+                    try:
+                        c, px = regen_caption_and_pixels(pd.Series([s]))
+                        caps.append(c[0])
+                        pixels.append(px[0])
+                    except Exception:
+                        caps.append(None)
+                        pixels.append(None)
             out = {"image_id": [], "psnr_ok": [], "caption_ok": [], "phash_ok": []}
             for k in range(len(pdf)):
                 row = pdf.iloc[k]
                 orig = pixels[k]
                 try:
+                    if orig is None:
+                        raise ValueError("unregenerable image_id")
                     decoded = decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
                     p = psnr_db(orig, decoded)
                     psnr_ok = (

@@ -159,7 +159,13 @@ def test_whitespace_class_consistent_across_engine_and_oracles():
     assert canon == frozenset(" \t\n\x0b\f\r")
     seen = 0
     for name, sql in E.oracle_sql().items():
-        for m in _re.finditer(r"string_split_regex\([^,]+,\s*'(\[[^]]*\])\+'", sql):
+        # the first argument may contain nested parens/commas/quotes
+        # (e.g. coalesce(text, '')); match any split-class literal that
+        # follows a string_split_regex call on the same statement
+        for m in _re.finditer(
+            r"string_split_regex\((?:[^,']|'[^']*'|\([^()]*\))+,\s*'(\[[^]]*\])\+'",
+            sql,
+        ):
             seen += 1
             assert charset(m.group(1)) == canon, (name, repr(m.group(1)))
     assert seen >= 8  # minhash, simhash, contamination, lang×2, corpus×2, jaccard…

