@@ -203,7 +203,10 @@ def st_geometry_collection(geoms: Column) -> Column:
         F.array().cast("array<double>"),
         F.array(F.lit(0).cast("int")),
         F.array(F.lit(0).cast("int")),
-        2,
+        # dim=0, matching parse_geometry_obj's GC structs — a dim=2 here
+        # made constructed and re-parsed collections struct-UNEQUAL
+        # (breaking struct joins / dropDuplicates on the geometry column)
+        0,
         geoms_json=_children_json(geoms),
     )
 

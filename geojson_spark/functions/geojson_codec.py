@@ -177,16 +177,20 @@ def _raw_fallback(geom_type: str, coordinates: Any, bbox, fm) -> dict:
         "ring_offsets": [0],
         "part_offsets": [0],
         "dim": -1,
-        "geoms_json": dumps_json(_floatify(coordinates)),
+        "geoms_json": _coords_json_text(coordinates),
         "bbox": bbox,
         "foreign_members": fm,
     }
 
 
-def _floatify(c: Any) -> Any:
+def _coords_json_text(c: Any) -> str:
+    """Coordinates JSON through the SAME float formatter as the uniform
+    path (``_fmt_f``): ``json.dumps`` would print Python's `1e+16`/`1e-05`
+    exponent text where serde's ryu prints `1e16`/`1e-5`, breaking the
+    byte-exact serialize parity for ragged geometries."""
     if isinstance(c, list):
-        return [_floatify(v) for v in c]
-    return float(c)
+        return "[" + ",".join(_coords_json_text(v) for v in c) + "]"
+    return _fmt_f(float(c))
 
 
 # ---------------------------------------------------------------------------
@@ -303,7 +307,11 @@ def parse_geometry_obj(obj: Any) -> dict:
         if not isinstance(poly, list):
             raise MalformedGeoJson(f"expected array, got {_json_type_name(poly)}")
         sub, tail, d, u = _flatten_rings(poly)
-        if dim == 0:
+        # only a polygon that PRODUCED positions can seed or contradict
+        # the dim — an empty polygon's default d=2 must not demote a
+        # uniform 3D MultiPolygon to the ragged fallback just because it
+        # came first (the reference parses both orders identically)
+        if sub and dim == 0:
             dim = d
         elif sub and d != dim:
             uniform = False
@@ -583,12 +591,57 @@ def serialize_geojson(kind: str, obj: dict) -> str:
 def serialize_geojson_pretty(kind: str, obj: dict, indent: int = 2) -> str:
     """Pretty print (S2 — GeoJson::to_string_pretty, src/geojson.rs:178-184).
 
-    Re-indents the compact form; key order is preserved (Python dicts keep
-    insertion order), numeric text is unchanged because values re-serialize
-    through the same float repr.
+    Re-indents the compact form with a TOKEN-LEVEL lexer — scalars are
+    never reparsed, so the numeric text is byte-identical to the compact
+    serializer's (a loads→dumps round-trip re-rendered `1e16` as Python's
+    `1e+16`, breaking the parity this function claims). Key order is
+    preserved trivially: the compact text is rewritten in place.
     """
-    compact = serialize_geojson(kind, obj)
-    return json.dumps(json.loads(compact), indent=indent, ensure_ascii=False)
+    return _indent_json(serialize_geojson(kind, obj), indent)
+
+
+def _indent_json(s: str, indent: int) -> str:
+    """Re-indent compact JSON (no whitespace between tokens) in the
+    ``json.dumps(indent=N)`` style, copying every scalar byte verbatim."""
+    out: list[str] = []
+    depth = 0
+    in_str = esc = False
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if in_str:
+            out.append(ch)
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+        elif ch == '"':
+            in_str = True
+            out.append(ch)
+        elif ch in "{[":
+            if i + 1 < n and s[i + 1] in "}]":  # empty container: {} / []
+                out.append(ch)
+                out.append(s[i + 1])
+                i += 1
+            else:
+                depth += 1
+                out.append(ch)
+                out.append("\n" + " " * (indent * depth))
+        elif ch in "}]":
+            depth -= 1
+            out.append("\n" + " " * (indent * depth))
+            out.append(ch)
+        elif ch == ",":
+            out.append(",")
+            out.append("\n" + " " * (indent * depth))
+        elif ch == ":":
+            out.append(": ")
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 # ---------------------------------------------------------------------------

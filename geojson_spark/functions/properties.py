@@ -15,20 +15,45 @@ import json
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, StringType
+from pyspark.sql.types import StringType
 
 from geojson_spark.functions.geojson_codec import dumps_json
 
 
+def _json_path(key: str) -> str:
+    """Spark JSON path for a top-level key. A raw f"$.{key}" interprets
+    '.', '[', '*' as PATH SYNTAX (properties['a.b'] silently becomes a
+    nested lookup returning null); non-identifier keys use the quoted
+    bracket form instead. Keys containing a single quote or backslash
+    cannot be expressed in Spark's JSON-path dialect — refuse loudly."""
+    import re
+
+    if re.fullmatch(r"[A-Za-z0-9_]+", key):
+        return f"$.{key}"
+    if "'" in key or "\\" in key:
+        raise ValueError(
+            f"property key {key!r} is not expressible as a Spark JSON path"
+        )
+    return f"$['{key}']"
+
+
 def prop(properties: Column, key: str) -> Column:
-    """A1 — Feature::property: JSON value text of properties[key] (null if
-    absent). JVM-side."""
-    return F.get_json_object(properties, f"$.{key}")
+    """A1 — Feature::property: value of properties[key] as
+    ``get_json_object`` text (null if absent; note string values come back
+    UNQUOTED — '1' and \"1\" are indistinguishable in the result, which is
+    the Spark primitive's contract). JVM-side."""
+    return F.get_json_object(properties, _json_path(key))
 
 
 def contains_prop(properties: Column, key: str) -> Column:
-    """A2 — Feature::contains_property. JVM-side."""
-    return F.get_json_object(properties, f"$.{key}").isNotNull()
+    """A2 — Feature::contains_property: KEY PRESENCE, like the reference's
+    ``props.contains_key`` (src/feature.rs) — a key holding JSON null is
+    still present. The previous get_json_object(...).isNotNull() form
+    conflated null values with absent keys. JVM-side."""
+    return F.coalesce(
+        F.array_contains(F.json_object_keys(properties), F.lit(key)),
+        F.lit(False),
+    )
 
 
 def set_prop(properties: Column, key: str, value) -> Column:
@@ -68,13 +93,13 @@ def remove_prop(properties: Column, key: str) -> Column:
 
 def len_props(properties: Column) -> Column:
     """A5 — Feature::len_properties (0 for null, matching the reference's
-    ``map_or(0, len)``)."""
-
-    @F.pandas_udf(IntegerType())
-    def _len(props: pd.Series) -> pd.Series:
-        return pd.Series([len(json.loads(p)) if p else 0 for p in props])
-
-    return _len(properties)
+    ``map_or(0, len)``). Pure Catalyst — ``size(json_object_keys(...))``
+    replaces the former pandas UDF (a read-only lookup has no business
+    paying Python-worker serialization; malformed JSON now yields 0
+    instead of crashing the task)."""
+    return F.coalesce(
+        F.size(F.json_object_keys(properties)), F.lit(0)
+    ).cast("int")
 
 
 def props_entries(df: DataFrame, properties_col: str = "properties") -> DataFrame:

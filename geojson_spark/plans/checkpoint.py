@@ -19,12 +19,21 @@ through the caller's DataFrame→DataFrame function, and appends lineage
 re-runs only missing buckets; outputs are union(previous parquet, new work).
 Resuming with a different ``stage`` or ``n_buckets`` than the manifest
 records raises instead of silently mixing incompatible bucketings.
+
+Concurrency: a bucket is CLAIMED under the manifest lock before any work
+(two simultaneous resumes partition the todo list instead of racing
+overwrite-writes into one directory), data is staged to a temp dir and
+published with an atomic rename before the manifest commit, and a claim
+whose owner pid has died is reclaimed on the next resume (same-host
+liveness via signal 0 — cross-host claim arbitration is out of scope for
+this single-host Iceberg emulation and documented as such).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from collections.abc import Callable
 
@@ -32,6 +41,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _BUCKET_COL = "__ckpt_bucket"  # collision-proof internal name
+
+
+def _pid_alive(pid: int) -> bool:
+    """Best-effort same-host liveness (signal 0)."""
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    except OSError:
+        return False
 
 
 class CheckpointTable:
@@ -94,12 +116,61 @@ class CheckpointTable:
 
         self._with_lock(_commit)
 
+    def claim_bucket(self, bucket: int, *, stage: str, owner: str) -> bool:
+        """Atomically claim a bucket for processing (manifest RMW under the
+        commit lock). Returns False when the bucket is already DONE or
+        claimed by a committer whose pid is still alive on this host; a
+        claim whose owner pid is gone is treated as crashed and reclaimed
+        (same-host liveness is best-effort — cross-host arbitration is out
+        of scope for this emulation, documented in the module docstring)."""
+
+        def _claim() -> bool:
+            m = self.read_manifest()
+            rec = m["buckets"].get(str(bucket))
+            if rec is not None:
+                if rec.get("state") != "claimed":
+                    return False  # done
+                pid = rec.get("pid")
+                if pid is not None and _pid_alive(int(pid)) and rec.get("owner") != owner:
+                    return False  # live concurrent committer owns it
+            m["buckets"][str(bucket)] = {
+                "state": "claimed", "stage": stage, "bucket": bucket,
+                "owner": owner, "pid": os.getpid(), "ts": time.time(),
+            }
+            m["seq"] += 1
+            tmp = self._manifest_path + f".tmp{os.getpid()}"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(m, fh)
+            os.replace(tmp, self._manifest_path)
+            return True
+
+        return self._with_lock(_claim)
+
+    def release_claim(self, bucket: int, *, owner: str) -> None:
+        """Drop this owner's claim (failure path) so a resume can retry the
+        bucket immediately instead of waiting for pid-liveness detection."""
+
+        def _release():
+            m = self.read_manifest()
+            rec = m["buckets"].get(str(bucket))
+            if rec is not None and rec.get("state") == "claimed" and rec.get("owner") == owner:
+                del m["buckets"][str(bucket)]
+                m["seq"] += 1
+                tmp = self._manifest_path + f".tmp{os.getpid()}"
+                with open(tmp, "w", encoding="utf-8") as fh:
+                    json.dump(m, fh)
+                os.replace(tmp, self._manifest_path)
+
+        self._with_lock(_release)
+
     def completed_buckets(self, stage: str | None = None) -> set[int]:
+        """Buckets with a COMMITTED result (in-flight claims excluded)."""
         m = self.read_manifest()
         return {
             int(b)
             for b, rec in m["buckets"].items()
-            if stage is None or rec.get("stage") == stage
+            if rec.get("state") != "claimed"
+            and (stage is None or rec.get("stage") == stage)
         }
 
     def bucket_data_path(self, bucket: int) -> str:
@@ -166,27 +237,55 @@ def resumable_apply(
     )
     done = ckpt.completed_buckets(stage)
     todo = [b for b in range(n_buckets) if b not in done]
+    owner = f"{os.getpid()}-{id(ckpt)}-{int(time.time() * 1000)}"
 
     # one pass over the (possibly expensive) source feeds every bucket
-    # iteration; without the persist each bucket re-scans the input twice
-    # (count + write)
+    # iteration; without the persist each bucket re-scans the input once
+    # per write
     if todo:
         bucketed = bucketed.persist()
     try:
+        # all rows_in counts in ONE job — the former per-bucket count()
+        # scanned the persisted input once per todo bucket (2× job count)
+        rows_in_by_bucket = (
+            {
+                r[_BUCKET_COL]: r["count"]
+                for r in bucketed.groupBy(_BUCKET_COL).count().collect()
+            }
+            if todo
+            else {}
+        )
         processed = 0
         for b in todo:
             if fail_after is not None and processed >= fail_after:
                 raise RuntimeError(f"simulated failure after {processed} buckets")
+            # claim-before-work: two concurrent resumes of one checkpoint
+            # would otherwise both compute the same todo list and race
+            # overwrite-writes into the same bucket directory (one job
+            # deleting the other's files mid-write)
+            if not ckpt.claim_bucket(b, stage=stage, owner=owner):
+                continue
             t0 = time.time()
-            part = bucketed.where(F.col(_BUCKET_COL) == b).drop(_BUCKET_COL)
-            rows_in = part.count()
-            out = fn(part)
-            out_path = ckpt.bucket_data_path(b)
-            out.write.mode("overwrite").parquet(out_path)
-            # read the materialized files back for rows_out/partitions —
-            # touching out.rdd would re-execute fn's shuffle stages under AQE
-            back = spark.read.parquet(out_path)
-            rows_out = back.count()
+            try:
+                part = bucketed.where(F.col(_BUCKET_COL) == b).drop(_BUCKET_COL)
+                rows_in = int(rows_in_by_bucket.get(b, 0))
+                out = fn(part)
+                out_path = ckpt.bucket_data_path(b)
+                # stage to a temp dir, publish with an atomic rename: the
+                # manifest must never mark complete a directory a crashed
+                # writer left half-written
+                tmp_path = f"{out_path}.tmp.{owner}"
+                out.write.mode("overwrite").parquet(tmp_path)
+                # read the materialized files back for rows_out/partitions —
+                # touching out.rdd would re-execute fn's shuffles under AQE
+                back = spark.read.parquet(tmp_path)
+                rows_out = back.count()
+                n_parts = back.rdd.getNumPartitions() if rows_out else 0
+                shutil.rmtree(out_path, ignore_errors=True)
+                os.replace(tmp_path, out_path)
+            except BaseException:
+                ckpt.release_claim(b, owner=owner)
+                raise
             wall_ms = int((time.time() - t0) * 1000)
             rec = {
                 "stage": stage,
@@ -194,7 +293,7 @@ def resumable_apply(
                 "rows_in": rows_in,
                 "rows_out": rows_out,
                 "wall_ms": wall_ms,
-                "partitions": back.rdd.getNumPartitions() if rows_out else 0,
+                "partitions": n_parts,
             }
             ckpt.write_lineage(stage, b, rec)
             ckpt.commit_bucket(b, rec, meta={"stage": stage, "n_buckets": n_buckets})

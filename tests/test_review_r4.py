@@ -371,3 +371,101 @@ def test_write_bucketed_rejects_invalid_table_name(spark, tmp_path):
         with pytest.raises(ValueError, match="invalid table name"):
             write_bucketed(df, bad, bucket_col="k", n_buckets=2,
                            path=str(tmp_path / "t"))
+
+
+def test_contains_prop_key_presence_and_dotted_keys(spark):
+    """contains_property is KEY presence (a JSON-null value still counts,
+    like the reference's contains_key); dotted keys must not be read as
+    nested JSON paths."""
+    from geojson_spark.functions.properties import contains_prop, len_props, prop
+
+    df = spark.createDataFrame(
+        [('{"name": null, "a.b": 7, "x": "v"}',), (None,)], "p string"
+    )
+    row = df.select(
+        contains_prop(F.col("p"), "name").alias("has_name"),
+        contains_prop(F.col("p"), "missing").alias("has_missing"),
+        prop(F.col("p"), "a.b").alias("ab"),
+        len_props(F.col("p")).alias("n"),
+    ).collect()
+    assert row[0].has_name is True          # null-valued key IS present
+    assert row[0].has_missing is False
+    assert row[0].ab == "7"                 # bracket path, not $.a.b
+    assert row[0].n == 3
+    assert row[1].has_name is False and row[1].n == 0
+
+
+def test_pretty_and_fallback_keep_exponent_text():
+    """Ragged-geometry fallback and pretty print must keep serde's
+    exponent spelling (1e16, 1e-5) — not Python's 1e+16/1e-05."""
+    import json
+
+    from geojson_spark.functions.geojson_codec import (
+        parse_geojson,
+        serialize_geojson,
+        serialize_geojson_pretty,
+    )
+
+    # ragged MultiPoint (mixed dims) -> raw fallback path
+    doc = '{"type":"MultiPoint","coordinates":[[1e16,2],[1,2,3]]}'
+    kind, obj = parse_geojson(doc)
+    out = serialize_geojson(kind, obj)
+    assert "1e16" in out and "1e+16" not in out
+    # pretty: byte-identical scalars, json.dumps-compatible shape
+    kind2, obj2 = parse_geojson('{"type":"Point","coordinates":[1e16,2e-5]}')
+    pretty = serialize_geojson_pretty(kind2, obj2)
+    assert "1e16" in pretty and "2e-5" in pretty
+    assert "e+" not in pretty and "e-05" not in pretty
+    # still valid JSON with the same value
+    assert json.loads(pretty)["coordinates"] == [1e16, 2e-5]
+    # indentation style matches json.dumps for content without exponents
+    kind3, obj3 = parse_geojson('{"type":"Point","coordinates":[1.5,2.0]}')
+    p3 = serialize_geojson_pretty(kind3, obj3)
+    assert p3 == json.dumps(json.loads(p3), indent=2, ensure_ascii=False)
+
+
+def test_multipolygon_leading_empty_polygon_stays_columnar():
+    from geojson_spark.functions.geojson_codec import parse_geojson
+
+    # first polygon has one EMPTY ring — its default dim=2 must not seed
+    # the MultiPolygon dim and demote the 3D polygon to the ragged path
+    a = '{"type":"MultiPolygon","coordinates":[[[]],[[[1.0,2.0,3.0],[4.0,5.0,6.0],[7.0,8.0,9.0],[1.0,2.0,3.0]]]]}'
+    b = '{"type":"MultiPolygon","coordinates":[[[[1.0,2.0,3.0],[4.0,5.0,6.0],[7.0,8.0,9.0],[1.0,2.0,3.0]]],[[]]]}'
+    _, ga = parse_geojson(a)
+    _, gb = parse_geojson(b)
+    assert ga["dim"] == 3 == gb["dim"]
+    assert sorted(ga["coords"]) == sorted(gb["coords"]) != []
+
+
+def test_constructed_gc_dim_matches_parsed(spark):
+    from geojson_spark.functions.constructors import st_geometry_collection, st_point
+
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    gc = df.select(
+        st_geometry_collection(
+            F.array(st_point(F.col("x"), F.col("y")))
+        ).alias("g")
+    ).first().g
+    assert gc.dim == 0  # parse_geometry_obj's GC structs carry dim=0
+
+
+def test_checkpoint_claims_partition_concurrent_work(spark, tmp_path):
+    """A bucket claimed by a LIVE owner must not be re-claimed by another
+    run; releasing (or committing) frees it."""
+    from geojson_spark.plans.checkpoint import CheckpointTable
+
+    ckpt = CheckpointTable(str(tmp_path / "c"))
+    assert ckpt.claim_bucket(0, stage="s", owner="run-a")
+    # another run, same live pid: refused
+    assert not ckpt.claim_bucket(0, stage="s", owner="run-b")
+    # same owner may re-claim (idempotent retry)
+    assert ckpt.claim_bucket(0, stage="s", owner="run-a")
+    ckpt.release_claim(0, owner="run-a")
+    assert ckpt.claim_bucket(0, stage="s", owner="run-b")
+    # claims are NOT completed buckets
+    assert ckpt.completed_buckets("s") == set()
+    ckpt.commit_bucket(0, {"stage": "s", "bucket": 0, "rows_out": 1},
+                       meta={"stage": "s", "n_buckets": 2})
+    assert ckpt.completed_buckets("s") == {0}
+    # a committed bucket can never be claimed again
+    assert not ckpt.claim_bucket(0, stage="s", owner="run-c")
