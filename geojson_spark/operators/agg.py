@@ -24,8 +24,16 @@ def bbox_union_agg(df: DataFrame, group_cols: list[str], bbox_col: str = "bbox")
     + one re-agg; no UDF, no window).
     """
     b = F.col(bbox_col)
+    # exists(null element): the reference cannot even PARSE a bbox with a
+    # null member (Vec<f64>), so one must poison the group — min/max would
+    # otherwise silently skip the nulls and emit a "clean" union computed
+    # from a malformed member
     poison = F.when(
-        b.isNull() | (F.size(b) == 0) | (F.size(b) % 2 != 0), F.lit(1)
+        b.isNull()
+        | (F.size(b) == 0)
+        | (F.size(b) % 2 != 0)
+        | F.exists(b, lambda x: x.isNull()),
+        F.lit(1),
     ).otherwise(F.lit(0))
 
     base = df.select(
@@ -73,7 +81,7 @@ def bbox_union_agg(df: DataFrame, group_cols: list[str], bbox_col: str = "bbox")
 def bbox_union_2d(df: DataFrame, group_cols: list[str], bbox_col: str = "bbox") -> DataFrame:
     """Fixed-2-D bbox union — pure min/max agg, SQL-oracle-reproducible."""
     b = F.col(bbox_col)
-    bad = b.isNull() | (F.size(b) != 4)
+    bad = b.isNull() | (F.size(b) != 4) | F.exists(b, lambda x: x.isNull())
     agg = df.groupBy(*group_cols).agg(
         F.max(F.when(bad, 1).otherwise(0)).alias("_p"),
         F.min(F.try_element_at(b, F.lit(1))).alias("min_x"),

@@ -15,7 +15,7 @@ import zipfile
 
 from pyspark.sql import SparkSession
 
-_ATTACHED: set[int] = set()
+_ATTACHED: set[str] = set()
 
 
 def attach_package(spark: SparkSession) -> None:
@@ -28,7 +28,11 @@ def attach_package(spark: SparkSession) -> None:
     engine↔oracle parity on any non-UTC machine."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     sc = spark.sparkContext
-    key = id(sc)
+    # applicationId, NOT id(sc): CPython recycles freed addresses, so a
+    # fresh context created after an old one is GC'd can collide with a
+    # stale id() entry and silently skip the addPyFile — every pandas-UDF
+    # task on the new context would then die with ModuleNotFoundError
+    key = sc.applicationId
     if key in _ATTACHED:
         return
     import geojson_spark

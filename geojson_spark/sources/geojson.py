@@ -54,6 +54,8 @@ def iter_feature_strings(stream, chunk_size: int = 1 << 20) -> Iterator[str]:
     ``"features"`` key at depth 1, then yields depth-balanced ``{...}``
     slices of its array, respecting strings/escapes.
     """
+    import codecs
+
     buf = ""
     depth = 0
     in_str = False
@@ -65,12 +67,19 @@ def iter_feature_strings(stream, chunk_size: int = 1 << 20) -> Iterator[str]:
     pending = []
     pos = 0
     entered_features = False
+    # incremental decode for byte streams: a multibyte UTF-8 character
+    # straddling a chunk boundary must not raise on the partial sequence
+    decoder = codecs.getincrementaldecoder("utf-8")()
     while True:
         chunk = stream.read(chunk_size)
         if not chunk:
+            # flush: a dangling partial sequence at EOF is a real error
+            decoder.decode(b"", final=True)
             break
         if isinstance(chunk, bytes):
-            chunk = chunk.decode("utf-8")
+            chunk = decoder.decode(chunk, final=False)
+            if not chunk:
+                continue
         buf += chunk
         n = len(buf)
         while pos < n:
@@ -95,6 +104,12 @@ def iter_feature_strings(stream, chunk_size: int = 1 << 20) -> Iterator[str]:
                 if depth == 1 and not in_features:
                     collecting = True
                     pending = []
+                elif in_features and depth == 2 and feat_start < 0:
+                    # a string ELEMENT of the features array — the other
+                    # parse paths raise on non-object features; silently
+                    # yielding 0 rows would accept malformed input on
+                    # exactly one routing (strict-parity rule)
+                    raise MalformedGeoJson("expected Feature object, got string")
             elif ch == "{":
                 depth += 1
                 if in_features and depth == 3 and feat_start < 0:
@@ -104,6 +119,8 @@ def iter_feature_strings(stream, chunk_size: int = 1 << 20) -> Iterator[str]:
                 if depth == 2 and not in_features and last_str == "features":
                     in_features = True
                     entered_features = True
+                elif in_features and depth == 3 and feat_start < 0:
+                    raise MalformedGeoJson("expected Feature object, got array")
             elif ch in "}]":
                 depth -= 1
                 if in_features and depth == 2 and feat_start >= 0:
@@ -115,6 +132,16 @@ def iter_feature_strings(stream, chunk_size: int = 1 << 20) -> Iterator[str]:
                     continue
                 if in_features and depth == 1:
                     in_features = False
+            elif (
+                in_features
+                and depth == 2
+                and feat_start < 0
+                and ch not in ", \t\r\n"
+            ):
+                # scalar element (number / true / false / null)
+                raise MalformedGeoJson(
+                    f"expected Feature object, got {ch!r}-initial scalar"
+                )
             pos += 1
         # trim consumed prefix: keep at most one partial feature
         keep_from = feat_start if feat_start >= 0 else pos
@@ -230,7 +257,10 @@ def read_geojson(
         for pdf in iterator:
             for fpath in pdf["path"]:
                 local = fpath[len("file:") :] if fpath.startswith("file:") else fpath
-                with open(local, encoding="utf-8") as fh:
+                # utf-8-sig: a Windows-exported file's leading BOM would
+                # otherwise defeat the sniffer ('﻿' is not a JSON
+                # token) and then crash json.loads on the whole doc
+                with open(local, encoding="utf-8-sig") as fh:
                     # grow the sniff window until the top-level "type" is
                     # visible (a long foreign-member preamble can push it
                     # past any fixed prefix); cap keeps memory bounded
@@ -293,12 +323,24 @@ def read_geojson(
                                 # the sniffer can misroute ndjson whose
                                 # first line overflows the window or is
                                 # blank — retry feature-per-line before
-                                # failing the file
+                                # failing the file. Retry ONLY when the
+                                # first line is itself complete JSON (the
+                                # ndjson signature): a pretty-printed doc
+                                # with a SEMANTIC error would otherwise
+                                # re-raise a misleading line-1 syntax
+                                # error in place of the real diagnostic.
                                 lines = [
                                     ln for ln in text.splitlines() if ln.strip()
                                 ]
                                 if kind == "ndjson" or len(lines) <= 1:
                                     raise
+                                try:
+                                    loads_json(lines[0])
+                                    first_is_json = True
+                                except MalformedGeoJson:
+                                    first_is_json = False
+                                if not first_is_json:
+                                    raise  # original (semantic) diagnostic
                                 parsed = [parse_geojson(ln) for ln in lines]
                         feats = []
                         for k, obj in parsed:
@@ -319,7 +361,13 @@ def read_geojson(
 
     # note: StructType.add mutates in place — build a fresh copy
     schema = StructType(list(FEATURE_SCHEMA.fields) + [StructField("source_file", StringType())])
-    out = files_df.mapInPandas(scan, schema=schema)
+    # binaryFile bin-packs small files into very few input partitions
+    # (openCost 4 MB → ~30 small files in ONE FilePartition), which would
+    # serialize the whole pandas-UDF parse on one core — the CLAUDE.md
+    # small-input rule; spread the file list first
+    from geojson_spark.functions.spark_funcs import ensure_min_partitions
+
+    out = ensure_min_partitions(files_df).mapInPandas(scan, schema=schema)
     if properties_schema is not None:
         out = features_to_table(out, properties_schema)
     return out

@@ -1,10 +1,14 @@
 """Custom stateful streaming operators via ``applyInPandasWithState``.
 
 ``stateful_session_counts`` carries per-user session state across
-micro-batches: the state tuple (last event time, running event count,
-running session count) lets a gap-based sessionization continue over a
-batch boundary — the thing the batch window formulation
-(geojson_spark.operators.sessions) cannot do on an unbounded stream.
+micro-batches: the state tuple (first event time, last event time,
+running event count, running session count) lets a gap-based
+sessionization continue over a batch boundary — the thing the batch
+window formulation (geojson_spark.operators.sessions) cannot do on an
+unbounded stream. Stragglers gap-separated BELOW every seen event open
+sessions correctly; stragglers inside the already-seen range merge
+conservatively (exact attribution there would need the full timeline,
+not O(1) state).
 
 The fold inside each batch is vectorized NumPy over the sorted event times
 (no per-row Python); state is O(1) per user. On a real cluster this scales
@@ -29,6 +33,7 @@ _OUT_SCHEMA = (
 )
 _STATE_SCHEMA = (
     StructType()
+    .add("first_ts_ns", LongType())
     .add("last_ts_ns", LongType())
     .add("n_events", LongType())
     .add("n_sessions", LongType())
@@ -38,9 +43,9 @@ _STATE_SCHEMA = (
 def _session_fold(gap_ns: int):
     def fold(key, pdfs, state: GroupState):
         if state.exists:
-            last_ts_ns, n_events, n_sessions = state.get
+            first_ts_ns, last_ts_ns, n_events, n_sessions = state.get
         else:
-            last_ts_ns, n_events, n_sessions = None, 0, 0
+            first_ts_ns, last_ts_ns, n_events, n_sessions = None, None, 0, 0
         ts_parts = []
         for pdf in pdfs:
             # NaT (null ts) would decode to int64-min, overflow the gap
@@ -50,20 +55,39 @@ def _session_fold(gap_ns: int):
             ts_parts.append(col[~np.isnat(col)].astype(np.int64))
         ts = np.sort(np.concatenate(ts_parts)) if ts_parts else np.empty(0, np.int64)
         if ts.size:
-            prev = np.empty_like(ts)
-            # a missing last_ts means the first event always opens a session
-            prev[0] = last_ts_ns if last_ts_ns is not None else ts[0] - gap_ns - 1
-            prev[1:] = ts[:-1]
-            # new session when gap strictly exceeds gap_ns (matches the
-            # batch formulation ts > lag(ts) + INTERVAL gap)
-            n_sessions += int((ts - prev > gap_ns).sum())
+            # stragglers STRICTLY gap-separated below every seen event can
+            # never merge with a known session — count them with the gap
+            # rule among themselves (comparing them against max(last_ts),
+            # as the pre-round-4 fold did, yielded a negative diff and
+            # silently NO session for e.g. a lone 09:00 event arriving
+            # after a 12:00 one). Stragglers INSIDE the seen range still
+            # merge conservatively — exact attribution there needs the
+            # full timeline, not O(1) state (documented approximation).
+            if first_ts_ns is not None:
+                below = ts[ts < first_ts_ns - gap_ns]
+                rest = ts[ts >= first_ts_ns - gap_ns]
+            else:
+                below = np.empty(0, np.int64)
+                rest = ts
+            if below.size:
+                n_sessions += 1 + int((np.diff(below) > gap_ns).sum())
+            if rest.size:
+                prev = np.empty_like(rest)
+                # a missing last_ts means the first event opens a session
+                prev[0] = last_ts_ns if last_ts_ns is not None else rest[0] - gap_ns - 1
+                prev[1:] = rest[:-1]
+                # new session when gap strictly exceeds gap_ns (matches
+                # the batch formulation ts > lag(ts) + INTERVAL gap)
+                n_sessions += int((rest - prev > gap_ns).sum())
             n_events += int(ts.size)
             # max, not last: an out-of-order micro-batch whose events all
             # precede last_ts must not REGRESS the state — a later batch
             # would then see an inflated gap vs the true latest event and
             # overcount sessions
-            last_ts_ns = max(int(ts[-1]), last_ts_ns) if last_ts_ns is not None else int(ts[-1])
-        state.update((last_ts_ns, n_events, n_sessions))
+            lo, hi = int(ts[0]), int(ts[-1])
+            first_ts_ns = lo if first_ts_ns is None else min(lo, first_ts_ns)
+            last_ts_ns = hi if last_ts_ns is None else max(hi, last_ts_ns)
+        state.update((first_ts_ns, last_ts_ns, n_events, n_sessions))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n_events], "n_sessions": [n_sessions]}
         )

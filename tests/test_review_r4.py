@@ -469,3 +469,113 @@ def test_checkpoint_claims_partition_concurrent_work(spark, tmp_path):
     assert ckpt.completed_buckets("s") == {0}
     # a committed bucket can never be claimed again
     assert not ckpt.claim_bucket(0, stage="s", owner="run-c")
+
+
+def test_read_geojson_tolerates_utf8_bom_file(spark, tmp_path):
+    import json
+
+    from geojson_spark.sources.geojson import read_geojson
+
+    doc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+         "properties": {"name": "zürich"}}]}
+    p = tmp_path / "bom.geojson"
+    p.write_bytes(b"\xef\xbb\xbf" + json.dumps(doc).encode())
+    rows = read_geojson(spark, str(p)).collect()
+    assert len(rows) == 1
+
+
+def test_scanner_raises_on_non_object_feature_elements(spark, tmp_path):
+    import pytest
+
+    from geojson_spark.sources.geojson import read_geojson
+
+    p = tmp_path / "bad.geojson"
+    # pad so the sniffer routes to the streaming scanner path
+    p.write_text('{"type":"FeatureCollection","features":[42,"x"]}')
+    with pytest.raises(Exception, match="expected Feature object"):
+        read_geojson(spark, str(p)).collect()
+
+
+def test_iter_feature_strings_bytes_multibyte_boundary():
+    import io
+    import json
+
+    from geojson_spark.sources.geojson import iter_feature_strings
+
+    feat = {"type": "Feature",
+            "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+            "properties": {"city": "Zürich" * 50}}
+    doc = json.dumps({"type": "FeatureCollection", "features": [feat] * 5},
+                     ensure_ascii=False).encode("utf-8")
+    # tiny chunks guarantee a multibyte char straddles some boundary
+    feats = list(iter_feature_strings(io.BytesIO(doc), chunk_size=7))
+    assert len(feats) == 5
+    assert all(json.loads(f)["properties"]["city"].startswith("Zürich") for f in feats)
+
+
+def test_bbox_union_poisons_null_elements(spark):
+    from geojson_spark.operators.agg import bbox_union_2d, bbox_union_agg
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 10.0, 10.0]), (1, [None, None, 20.0, 20.0]),
+         (2, [1.0, 1.0, 2.0, 2.0])],
+        "g int, bbox array<double>",
+    )
+    out = {r.g: r.bbox for r in bbox_union_agg(df, ["g"]).collect()}
+    assert out[1] is None           # null element poisons the group
+    assert out[2] == [1.0, 1.0, 2.0, 2.0]
+    out2 = {r.g: r.min_x for r in bbox_union_2d(df, ["g"]).collect()}
+    assert out2[1] is None and out2[2] == 1.0
+
+
+def test_ndjson_retry_preserves_semantic_diagnostics(spark, tmp_path):
+    import pytest
+
+    from geojson_spark.sources.geojson import read_geojson
+
+    # pretty-printed (multi-line) Feature with an INVALID id: the error
+    # must be the id diagnostic, not a bogus line-1 JSON syntax error
+    p = tmp_path / "badid.geojson"
+    p.write_text(
+        '{\n  "type": "Feature",\n  "id": true,\n'
+        '  "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},\n'
+        '  "properties": null\n}\n'
+    )
+    with pytest.raises(Exception, match="[Ii]d"):
+        read_geojson(spark, str(p)).collect()
+
+
+def test_stateful_sessions_count_gap_separated_straggler(spark, tmp_path):
+    """A lone event far BEFORE everything already seen must open a
+    session (the old fold compared it against max(last_ts) and counted
+    nothing)."""
+    import shutil as _sh
+
+    from geojson_spark.streaming.stateful import run_stateful_sessions
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00")], "user_id long, ts string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "f=1"))
+    spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00")], "user_id long, ts string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "f=2"))
+    # flatten: the file source needs plain files, one per micro-batch
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    n = 0
+    for sub in sorted(d.iterdir()):
+        for f in sorted(sub.glob("*.parquet")):
+            _sh.copy(f, flat / f"{n:02d}.parquet")
+            n += 1
+    q = run_stateful_sessions(spark, str(flat), gap_minutes=30,
+                              query_name="sess_straggler")
+    q.awaitTermination(180)
+    rows = spark.table("sess_straggler").collect()
+    # update mode: last row per user carries the final counts
+    final = rows[-1]
+    assert final.n_events == 2
+    assert final.n_sessions == 2  # 09:00 and 12:00 are separate sessions
