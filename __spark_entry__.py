@@ -31,6 +31,7 @@ from geojson_spark.functions.spark_funcs import (  # noqa: E402
     grid_cell,
     grid_parent,
 )
+from geojson_spark.functions.text import WORD_RE  # noqa: E402
 
 GRID_SQL = (
     "(cast(floor((lon + 180.0) * 8.0) as bigint) * 4096 + "
@@ -571,12 +572,6 @@ def _shingle3_sql(src: str, extra_cols: str = "") -> str:
   )"""
 
 
-def _hash_split_oracle_sql() -> str:
-    return f"""
-        SELECT doc_id, {_split_case_sql('doc_id')} AS split FROM documents
-    """
-
-
 def _stratified_oracle_sql(fractions: dict, seed: int = 7) -> str:
     """Replicates stratified_sample — thresholds via the SAME
     ``int(float(frac) * 2^32)`` conversion as the operator, including its
@@ -787,34 +782,11 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(t) - F.length(F.replace(t, F.lit("."), F.lit("")))).alias("n_periods"),
         (F.length(t) - F.length(F.replace(t, F.lit(","), F.lit("")))).alias("n_commas"),
         bpe_token_count(t).alias("n_bpe_tokens"),
-        F.regexp_count(t, F.lit(r"[^ \t\n\r\f]+")).cast("bigint").alias("n_ws_tokens"),
+        # the ONE engine-wide word class (text.WORD_RE, includes \x0B) —
+        # a hand-spelled variant omitting \x0B silently disagreed with
+        # bm25 dl / repetition / shingle counts on vertical-tab docs
+        F.regexp_count(t, F.lit(WORD_RE)).cast("bigint").alias("n_ws_tokens"),
     )
-
-
-def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic md5-hash dataset split (train/val/test) — a row's
-    split never changes under repartitioning or table growth. Pure Column
-    ops; the oracle reproduces the md5-prefix threshold arithmetic."""
-    from geojson_spark.operators.splits import hash_split
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return hash_split(docs, seed=42).select("doc_id", "split")
-
-
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic class-balanced sampling: per-language keep fractions
-    via the md5-hash unit (stable under repartitioning/growth) — 'zh'
-    absent from the fractions map is dropped entirely."""
-    from geojson_spark.operators.splits import stratified_sample
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = stratified_sample(
-        docs,
-        strata_col="lang",
-        fractions={"en": 0.3, "de": 0.9, "fr": 0.9, "es": 0.5},
-        seed=7,
-    )
-    return out.select("doc_id", "lang")
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,7 +812,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id",
         (F.col("doc_id") % 8).alias("shard"),
-        F.regexp_count(F.col("text"), F.lit(r"[^ \t\n\r\f]+")).cast("long").alias("n_tokens"),
+        F.regexp_count(F.coalesce(F.col("text"), F.lit("")), F.lit(WORD_RE))
+        .cast("long")
+        .alias("n_tokens"),
     )
     return pack_sequences(docs, capacity=256)
 
@@ -2267,7 +2241,7 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                      '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\r\fA-Za-z0-9]+|[ \t\n\r\f]+'
                    ))::BIGINT AS n_bpe_tokens,
-                   len(regexp_extract_all(text, '[^ \t\n\r\f]+'))::BIGINT AS n_ws_tokens
+                   len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+'))::BIGINT AS n_ws_tokens
             FROM documents
         """,
         "text_signals": r"""
@@ -2345,11 +2319,15 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         """,
         "polygon_roundtrip": """
+            -- ::DOUBLE on the fractional literals: DuckDB otherwise runs
+            -- this in exact DECIMAL, which lands one ulp away from
+            -- Spark's double arithmetic on some corners (y0 + 9.0 gave
+            -- -12.9995 vs double's -12.999500000000001)
             SELECT n_nationkey::BIGINT AS poly_id,
-                   (n_nationkey * 37) % 300 - 160 + 0.0005 AS x0,
-                   (n_nationkey * 53) % 140 - 75 + 0.0005 AS y0,
-                   ((n_nationkey * 37) % 300 - 160 + 0.0005) + 12.0 AS x1,
-                   ((n_nationkey * 53) % 140 - 75 + 0.0005) + 9.0 AS y1,
+                   (n_nationkey * 37) % 300 - 160 + 0.0005::DOUBLE AS x0,
+                   (n_nationkey * 53) % 140 - 75 + 0.0005::DOUBLE AS y0,
+                   ((n_nationkey * 37) % 300 - 160 + 0.0005::DOUBLE) + 12.0::DOUBLE AS x1,
+                   ((n_nationkey * 53) % 140 - 75 + 0.0005::DOUBLE) + 9.0::DOUBLE AS y1,
                    10 AS n_coords
             FROM nation
         """,
@@ -2694,7 +2672,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": r"""
             WITH RECURSIVE t AS (
               SELECT doc_id, doc_id % 8 AS shard,
-                     coalesce(len(regexp_extract_all(text, '[^ \t\n\r\f]+')), 0)::BIGINT AS tok,
+                     coalesce(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')), 0)::BIGINT AS tok,
                      row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
               FROM documents
             ), r AS (

@@ -129,10 +129,15 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
         for name in HEADLINE:
             t0 = time.time()
             df = qs[name](spark, sf_dir)
-            n = df.count()
+            # noop sink, NOT count(): count() prunes every column, so a
+            # projection-shaped query (doc_fingerprint, token_stats,
+            # repetition_stats) would never execute its UDF/regexp work
+            # and record ~0s — the exact CLAUDE.md profiling trap. The
+            # noop write materializes every output column JVM-side.
+            df.write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             times[name] = min(times.get(name, dt), dt)
-            print(f"  [rep {rep}] {name}: {dt}s ({n} rows)", file=sys.stderr)
+            print(f"  [rep {rep}] {name}: {dt}s", file=sys.stderr)
         rep_totals.append(round(time.time() - rep_t0, 3))
         probe()
     times["host_probe_before_sec"] = probes[0]
@@ -354,6 +359,7 @@ def run_scaling(n_images: int) -> dict[str, float]:
         max_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "6"))
         budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "560"))
         walls: list[dict[int, float]] = []
+        lineages: list[dict[int, int]] = []
         probes: list[dict[str, float]] = []
         t_scale0 = time.time()
         for rep in range(max_reps):
@@ -363,12 +369,14 @@ def run_scaling(n_images: int) -> dict[str, float]:
                 break
             order = (p_lo, p_hi) if rep % 2 == 0 else (p_hi, p_lo)
             w: dict[int, float] = {}
+            lin: dict[int, int] = {}
             for p in order:
                 ckpt_dir = os.path.join(tmp, f"ckpt{p}_{rep}")
                 r = _scale_measurement(p, images_path, ckpt_dir, n_images)
                 w[p] = r["wall"]
-                out[f"lineage_partitions@local[{p}]"] = r["lineage_partitions"]
+                lin[p] = r["lineage_partitions"]
             walls.append(w)
+            lineages.append(lin)
             probes.append(host_ceiling(p_lo, p_hi))
         ceilings = [p["host_ceiling_efficiency"] for p in probes]
         ratio = p_hi / p_lo
@@ -382,6 +390,10 @@ def run_scaling(n_images: int) -> dict[str, float]:
         for p, wall in walls[best_i].items():
             out[f"images_tiled_per_sec@local[{p}]"] = round(n_images / wall, 1)
             out[f"tiling_sec@local[{p}]"] = round(wall, 2)
+            # lineage from the SAME rep as the headline throughput (the
+            # old per-rep overwrite reported the LAST rep's value, mixing
+            # reps in one record)
+            out[f"lineage_partitions@local[{p}]"] = lineages[best_i][p]
         out["scaling_reps"] = len(walls)
         out["scaling_efficiency_per_rep"] = per_rep
         out["host_ceiling_per_rep"] = ceilings
@@ -405,7 +417,12 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "300000"))
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        # a non-sf<N> dir must not crash the print AFTER the whole
+        # multi-minute run completed — report the raw path instead
+        sf = sf_dir
 
     times = run_headline(sf_dir, cpus)
     probes = {
@@ -422,7 +439,7 @@ def main():
         "unit": "sec",
         "queries": times,
         **probes,
-        "sf": float(sf),
+        "sf": sf,
         "n_images": n_images,
         **scaling,
     }

@@ -20,10 +20,15 @@ def normalize(rows, cols):
         for c in cols:
             v = r[c]
             if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 9)
+                # EXACT repr, no rounding: the driver hashes value reprs,
+                # so a 1-ulp derivation drift must fail HERE too — a
+                # round(v, 9) tolerance made this gate strictly weaker
+                # than the thing it mimics
+                v = "NaN" if math.isnan(v) else repr(v)
+            elif isinstance(v, bool):
+                # keep bools distinct from ints: repr(True) != repr(1)
+                # under the driver's hash
+                v = repr(v)
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple(str(x) for x in t))
@@ -49,6 +54,12 @@ def main():
 
     qs = E.queries()
     oracles = E.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name silently checking NOTHING and printing 'all oracle
+        # checks passed' is a false green — fail loudly instead
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -76,8 +87,10 @@ def main():
             # 5 into 5.0) fails its hash_match even when rounded values
             # agree. Width-only differences (int32 vs int64) hash the same.
             def kind(d):
+                # bool stays distinct from int: the driver's repr-hash
+                # sees 'False' vs '0' even though False == 0 in Python
                 k = d.kind
-                return "i" if k in ("i", "u", "b") else k
+                return "i" if k in ("i", "u") else k
 
             dt = [
                 (c, str(spdf[c].dtype), str(odf[c].dtype))
