@@ -169,3 +169,90 @@ def test_whitespace_class_consistent_across_engine_and_oracles():
             seen += 1
             assert charset(m.group(1)) == canon, (name, repr(m.group(1)))
     assert seen >= 8  # minhash, simhash, contamination, lang×2, corpus×2, jaccard…
+
+
+# --- round-4 additions: fuzz the paths hardened this round ---------------
+
+# floats whose repr uses exponent form (1e16 / 1e-07) — exercises _fmt_f's
+# serde-exponent normalization on every serialization path
+wild_coord = st.one_of(
+    coord,
+    st.floats(min_value=1e15, max_value=1e18, allow_nan=False, allow_infinity=False),
+    st.floats(min_value=1e-9, max_value=1e-5, allow_nan=False, allow_infinity=False),
+    st.floats(min_value=-1e18, max_value=-1e15, allow_nan=False, allow_infinity=False),
+)
+wild_position = st.lists(wild_coord, min_size=2, max_size=3).map(list)
+# deliberately RAGGED: per-position dims drawn independently, so many
+# samples mix 2-D and 3-D and take the raw-fallback path
+ragged_multipoint = st.fixed_dictionaries(
+    {"type": st.just("MultiPoint"),
+     "coordinates": st.lists(wild_position, min_size=1, max_size=5)}
+)
+ragged_linestring = st.fixed_dictionaries(
+    {"type": st.just("LineString"),
+     "coordinates": st.lists(wild_position, min_size=2, max_size=5)}
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.one_of(ragged_multipoint, ragged_linestring))
+def test_ragged_and_exponent_geometries_roundtrip(doc):
+    """Mixed-dim coordinates (raw-fallback path) and exponent-formatted
+    floats must round-trip semantically, idempotently, and with serde's
+    exponent spelling (never Python's e+NN / e-0N)."""
+    src = json.dumps(doc)
+    kind, obj = parse_geojson(src)
+    out1 = serialize_geojson(kind, obj)
+    kind2, obj2 = parse_geojson(out1)
+    out2 = serialize_geojson(kind2, obj2)
+    assert out2 == out1
+    assert json.loads(out1) == _normalize(doc)
+    assert "e+" not in out1
+    # no zero-padded exponents anywhere (Python prints 1e-05, serde 1e-5)
+    import re
+
+    assert not re.search(r"e-0\d", out1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(document)
+def test_pretty_print_matches_compact_values(doc):
+    """The token-level pretty printer must (a) reparse to exactly the
+    compact form's value and (b) agree with json.dumps(indent=2) shape."""
+    from geojson_spark.functions.geojson_codec import serialize_geojson_pretty
+
+    kind, obj = parse_geojson(json.dumps(doc))
+    compact = serialize_geojson(kind, obj)
+    pretty = serialize_geojson_pretty(kind, obj)
+    assert json.loads(pretty) == json.loads(compact)
+    # shape check against the stdlib (valid when no exponent text differs)
+    if "e" not in compact and "E" not in compact:
+        assert pretty == json.dumps(
+            json.loads(compact), indent=2, ensure_ascii=False
+        )
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(feature, min_size=1, max_size=5), st.integers(min_value=3, max_value=64))
+def test_streaming_scanner_equals_whole_doc_parse(feats, chunk):
+    """iter_feature_strings over a BYTE stream in tiny chunks must yield
+    exactly the features the whole-document parser sees — including
+    multibyte text straddling chunk boundaries."""
+    import io
+
+    from geojson_spark.functions.geojson_codec import parse_feature_obj
+    from geojson_spark.sources.geojson import iter_feature_strings
+
+    # inject some non-ASCII property text to stress the chunk decoder
+    for i, f in enumerate(feats):
+        props = f.get("properties") or {}
+        f["properties"] = {**props, "näme": f"züri-{i}"}
+    doc = json.dumps({"type": "FeatureCollection", "features": feats},
+                     ensure_ascii=False).encode("utf-8")
+    scanned = [
+        parse_feature_obj(json.loads(s))
+        for s in iter_feature_strings(io.BytesIO(doc), chunk_size=chunk)
+    ]
+    kind, obj = parse_geojson(doc.decode("utf-8"))
+    assert kind == "FeatureCollection"
+    assert scanned == obj["features"]
