@@ -36,7 +36,14 @@ from geojson_spark.functions.spark_funcs import (
     s2_parent_col,
 )
 
-KM_PER_DEG_LAT = 111.19492664455873  # 2πR/360 at R=6371.0088
+import math as _math
+
+from geojson_spark.functions.geometry import EARTH_RADIUS_KM
+
+# derived from the ONE shared radius constant (spark_funcs re-exports it
+# from geometry.py) — a hardcoded 111.19… literal would silently keep the
+# old radius in the ring-completeness bounds if the constant ever changed
+KM_PER_DEG_LAT = 2.0 * _math.pi * EARTH_RADIUS_KM / 360.0
 
 # adaptive-broadcast budget for pip_join, in *exploded* (poly, cell) rows —
 # the thing actually shipped to every executor
@@ -189,7 +196,10 @@ def pip_refine_udf():
             first = idx[0]
             c = coords.iloc[first]
             ro = ring_offsets.iloc[first]
-            d = int(dim.iloc[first]) if dim.iloc[first] is not None else 2
+            # pd.isna, not `is None`: a NULL in a nullable bigint column
+            # arrives as NaN, and int(NaN) would crash the task instead of
+            # taking the documented dim=2 fallback
+            d = 2 if pd.isna(dim.iloc[first]) else int(dim.iloc[first])
             if c is None or len(c) == 0 or d < 2:
                 continue
             cv = np.asarray(c, dtype=np.float64)
@@ -234,6 +244,14 @@ def pip_join(
     """
     poly_cols = ["poly_id", "coords", "ring_offsets", "dim"]
 
+    # broadcast path = points never shuffle — which also means the
+    # explode+join+refine pandas-UDF stage inherits the raw points
+    # partitioning; a 1-partition small-parquet scan would run it all on
+    # one core (CLAUDE.md rule). Plan-aware: no-op on healthy inputs.
+    from geojson_spark.functions.spark_funcs import ensure_min_partitions
+
+    points = ensure_min_partitions(points)
+
     # One equi-join, no data-dependent driver round-trips: polygons carry a
     # cover at one level of a fixed ladder; points explode to their ancestor
     # key at every ladder level (pure Column bit arithmetic). A polygon
@@ -262,31 +280,49 @@ def pip_join(
 
     broadcast_max_rows = PIP_BROADCAST_MAX_ROWS
     if broadcast_polygons is None:
-        n_polys = polygons.count()
+        # ONE probe action (count + hash-sampled cover stats in a single
+        # aggregation): the previous count-then-sample design executed the
+        # polygons lineage twice before the real join even started — on a
+        # UDF-built polygon pipeline the probe cost scaled with the
+        # upstream plan, not with the sample. The ~1/16 deterministic
+        # hash sample bounds the cover-UDF probe cost on big sides; small
+        # sides (few sampled rows) fall back to exact stats over all rows
+        # — bounded by definition of small.
+        sampled = F.pmod(F.xxhash64(F.col("poly_id")), F.lit(16)) == 0
+        bytes_expr = F.size(cover_expr) * (
+            F.size(F.col("coords")) * F.lit(8.0) + F.lit(64.0)
+        )
+        probe = polygons.select(
+            F.count("*").alias("n"),
+            F.count(F.when(sampled, 1)).alias("ns"),
+            # E[cover·bytes], NOT E[cover]·E[bytes]: cover size and coords
+            # length are positively correlated (big polygons have both),
+            # so the product of means can undershoot by an order of
+            # magnitude on a mostly-tiny + few-coastlines mix
+            F.avg(F.when(sampled, F.size(cover_expr))).alias("m"),
+            F.avg(F.when(sampled, bytes_expr)).alias("pb"),
+        ).first()
+        n_polys = probe["n"]
         if n_polys > broadcast_max_rows:
             broadcast_polygons = False
         elif n_polys == 0:
             broadcast_polygons = True
         else:
-            frac = min(1.0, 2048.0 / n_polys)
-            sampled = polygons if frac >= 1.0 else polygons.sample(False, frac, seed=7)
-            stats = sampled.select(
-                F.avg(F.size(cover_expr)).alias("m"),
-                # E[cover·bytes], NOT E[cover]·E[bytes]: cover size and
-                # coords length are positively correlated (big polygons
-                # have both), so the product of means can undershoot by an
-                # order of magnitude on a mostly-tiny + few-coastlines mix
-                F.avg(
-                    F.size(cover_expr)
-                    * (F.size(F.col("coords")) * F.lit(8.0) + F.lit(64.0))
-                ).alias("pb"),
-            ).first()
-            mean_cover = stats["m"] or 1.0
-            est_rows = n_polys * mean_cover
+            if probe["ns"] and probe["ns"] >= 32:
+                mean_cover, mean_bytes = probe["m"], probe["pb"]
+            else:
+                # too few sampled rows for a stable mean → the table is
+                # small; exact stats over all of it are bounded
+                full = polygons.select(
+                    F.avg(F.size(cover_expr)).alias("m"),
+                    F.avg(bytes_expr).alias("pb"),
+                ).first()
+                mean_cover, mean_bytes = full["m"], full["pb"]
+            est_rows = n_polys * (mean_cover or 1.0)
             # per exploded row: coords doubles (8 B each) + offsets/key/id
             # overhead (~64 B) — bounds estimated broadcast BYTES, not just
             # rows, so a fat-coords side at modest row count still shuffles
-            est_bytes = n_polys * (stats["pb"] or 0.0)
+            est_bytes = n_polys * (mean_bytes or 0.0)
             broadcast_polygons = (
                 est_rows <= broadcast_max_rows
                 and est_bytes <= PIP_BROADCAST_MAX_BYTES
@@ -305,7 +341,7 @@ def pip_join(
             F.col("dim"),
         )
     )
-    drop = [c for c in ("cell_id", "point_cell", "coords", "ring_offsets", "dim") if c in refined.columns]
+    drop = [c for c in ("cell_id", "coords", "ring_offsets", "dim") if c in refined.columns]
     return refined.drop(*drop)
 
 
@@ -409,16 +445,27 @@ def knn_join(
     topk = topk.localCheckpoint(eager=True)
 
     # completeness bound: a point outside Chebyshev ring r differs by ≥ r
-    # whole cells (r/cpd degrees) in lon or lat. For haversine the lon case
-    # scales by cos(lat_worst), the largest |lat| reachable inside the ring
-    # (0.999 guards the sin(x)≈x lower bound at these tiny angles).
+    # whole cells (r/cpd degrees) in lon or lat. The great-circle distance
+    # for an angular separation θ is 2R·sin(θ/2) — the CHORD-derived form,
+    # NOT the arc length R·θ: for lat-separation d, dist = 2R·sin(d/2); for
+    # lon-separation d at |φ| ≤ lat_worst, dist = 2R·asin(√h) ≥ 2R·√h ≥
+    # 2R·cos(lat_worst)·sin(d/2). The previous linear bound
+    # 0.999·r·cell_deg·KM_PER_DEG overstated the true minimum once the
+    # ring spanned more than ~8.9° (sin(x)/x < 0.999), so wide rings could
+    # wrongly mark queries complete; 2R·sin(θ/2)·cos is exact-direction for
+    # ANY θ (0.999 retained purely as float-rounding slack).
     cell_deg = 1.0 / cpd
     stats = topk.groupBy(q_id, q_lon, q_lat).agg(
         F.count("*").alias("n_cand"), F.max("dist_km").alias("kth_dist")
     )
     if metric == "haversine":
+        import math
+
+        from geojson_spark.functions.geometry import EARTH_RADIUS_KM
+
         lat_worst = F.least(F.lit(89.9), F.abs(F.col(q_lat)) + F.lit((ring + 1) * cell_deg))
-        bound = F.lit(0.999 * ring * cell_deg * KM_PER_DEG_LAT) * F.least(
+        half_sin = math.sin(math.radians(min(ring * cell_deg, 180.0)) / 2.0)
+        bound = F.lit(0.999 * 2.0 * EARTH_RADIUS_KM * half_sin) * F.least(
             F.lit(1.0), F.cos(F.radians(lat_worst))
         )
         # the planar grid has no wraparound, so the cell-separation
@@ -762,6 +809,12 @@ def asof_join(
     else:
         w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         row_struct = F.first(rs, ignorenulls=True).over(w)
+    # a left row with NULL left_time can never satisfy <=/>= either — but
+    # under asc() NULLS-FIRST ordering the FORWARD window would hand it the
+    # key's earliest right row (backward happened to be safe only because
+    # nulls sort to the head); null the fill explicitly so both directions
+    # agree on dirty data
+    row_struct = F.when(F.col("_t").isNotNull(), row_struct)
     fills = [row_struct[out].alias(out) for out in right_cols]
     filled = u.select(*[F.col(c) for c in left.columns], F.col("_side"), *fills)
     return filled.where(F.col("_side") == 1).drop("_side")

@@ -579,3 +579,70 @@ def test_stateful_sessions_count_gap_separated_straggler(spark, tmp_path):
     final = rows[-1]
     assert final.n_events == 2
     assert final.n_sessions == 2  # 09:00 and 12:00 are separate sessions
+
+
+def test_asof_forward_null_left_time_stays_unmatched(spark):
+    from geojson_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None), (1, "2024-01-01 10:00:00")], "k int, lt string"
+    ).select("k", F.col("lt").cast("timestamp").alias("lt"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 100), (1, "2024-01-01 11:00:00", 200)],
+        "k int, rt string, v int",
+    ).select("k", F.col("rt").cast("timestamp").alias("rt"), "v")
+    fwd = asof_join(left, right, key="k", left_time="lt", right_time="rt",
+                    right_cols={"v": "v"}, direction="forward")
+    got = {(r.lt is not None): r.v for r in fwd.collect()}
+    assert got[True] == 200    # earliest rt >= 10:00
+    assert got[False] is None  # NULL left time matches nothing
+    bwd = asof_join(left, right, key="k", left_time="lt", right_time="rt",
+                    right_cols={"v": "v"}, direction="backward")
+    got_b = {(r.lt is not None): r.v for r in bwd.collect()}
+    assert got_b[True] == 100 and got_b[False] is None
+
+
+def test_knn_wide_ring_haversine_is_exact(spark):
+    """cpd=1 with a ring spanning tens of degrees: the chord-based
+    completeness bound must stay EXACT (the old linear bound overstated
+    the outside-ring minimum by up to ~3% and could skip the brute-force
+    re-solve for a true neighbor just outside the ring)."""
+    import numpy as np
+
+    from geojson_spark.functions.geometry import haversine_km
+    from geojson_spark.operators.joins import knn_join
+
+    rng = np.random.default_rng(3)
+    xy = rng.uniform([-60, -50], [60, 50], size=(60, 2))  # sparse → wide ring
+    pts = spark.createDataFrame(
+        [Row(p_id=i, p_lon=float(x), p_lat=float(y)) for i, (x, y) in enumerate(xy)]
+    )
+    qxy = rng.uniform([-50, -40], [50, 40], size=(6, 2))
+    qs = spark.createDataFrame(
+        [Row(q_id=i, q_lon=float(x), q_lat=float(y)) for i, (x, y) in enumerate(qxy)]
+    )
+    got = {(r.q_id, r.rn): r.p_id
+           for r in knn_join(qs, pts, 3, cpd=1, metric="haversine").collect()}
+    for qi, (qx, qy) in enumerate(qxy):
+        d = haversine_km(qx, qy, xy[:, 0], xy[:, 1])
+        order = sorted(range(len(xy)), key=lambda i: (d[i], i))
+        for rn in range(1, 4):
+            assert got[(qi, rn)] == order[rn - 1], (qi, rn)
+
+
+def test_pip_join_null_dim_falls_back_to_2d(spark):
+    """A NULL dim reaches the refine kernel as NaN — it must take the
+    documented dim=2 fallback, not crash the task on int(NaN)."""
+    from geojson_spark.operators.joins import pip_join
+
+    polys = spark.createDataFrame(
+        [(1, [0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0, 0.0, 0.0],
+          [0, 5], [0, 1], None, [0.0, 0.0, 10.0, 10.0])],
+        "poly_id int, coords array<double>, ring_offsets array<int>, "
+        "part_offsets array<int>, dim int, bbox array<double>",
+    )
+    pts = spark.createDataFrame(
+        [Row(p=1, lon=5.0, lat=5.0), Row(p=2, lon=50.0, lat=5.0)]
+    )
+    got = {r.p for r in pip_join(pts, polys).collect()}
+    assert got == {1}
