@@ -24,13 +24,18 @@ def _json_path(key: str) -> str:
     """Spark JSON path for a top-level key. A raw f"$.{key}" interprets
     '.', '[', '*' as PATH SYNTAX (properties['a.b'] silently becomes a
     nested lookup returning null); non-identifier keys use the quoted
-    bracket form instead. Keys containing a single quote or backslash
-    cannot be expressed in Spark's JSON-path dialect — refuse loudly."""
+    bracket form instead. Keys Spark's JsonPathParser cannot express —
+    no escaping exists, so a single quote or backslash, and the empty
+    name (the quoted-name rule needs ≥1 char), would make
+    get_json_object silently return null — refuse loudly. '?' inside a
+    quoted name was suspected unparseable too, but Spark 4.1.2 resolves
+    ``$['a?b']`` correctly (verified empirically in
+    tests/test_review_r5.py), so it stays allowed."""
     import re
 
     if re.fullmatch(r"[A-Za-z0-9_]+", key):
         return f"$.{key}"
-    if "'" in key or "\\" in key:
+    if "'" in key or "\\" in key or key == "":
         raise ValueError(
             f"property key {key!r} is not expressible as a Spark JSON path"
         )

@@ -37,8 +37,9 @@ def assign_keepers(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     in each connected component. Iterative min-label propagation: each round
     is two shuffles (groupBy min over both directions); rounds = component
     diameter (≤ log n after path-halving via keeper chaining). Converges
-    when no label changes — checked with a cheap count, bounded by
-    ``max_iters``.
+    when no label changes — each round runs exactly ONE driver action (a
+    full-scan ``max(changed)`` that doubles as the lineage-truncating
+    checkpoint materialization), bounded by ``max_iters``.
 
     Cache discipline: the symmetrized edge list is cached for the loop and
     unpersisted before returning, so repeated calls in a long-lived session
@@ -68,13 +69,17 @@ def assign_keepers(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
 
 def _propagate_keepers(both: DataFrame, labels: DataFrame, max_iters: int) -> DataFrame:
     for _ in range(max_iters):
-        # propagate: my keeper ← min(my keeper, keeper of my keeper)
+        # propagate: my keeper ← min(my keeper, keeper of my keeper); carry
+        # the pre-round keeper along so convergence is visible in the row
+        # itself — the former probe re-JOINED new labels against old labels
+        # (a shuffle join per round) just to ask "did anything change"
         chained = labels.alias("x").join(
             labels.select(F.col("id").alias("keeper_id"), F.col("keeper_id").alias("k2")).alias("y"),
             "keeper_id",
             "left",
         ).select(
             F.col("x.id").alias("id"),
+            F.col("x.keeper_id").alias("_prev"),
             F.least(F.col("keeper_id"), F.coalesce(F.col("k2"), F.col("keeper_id"))).alias(
                 "keeper_id"
             ),
@@ -84,21 +89,21 @@ def _propagate_keepers(both: DataFrame, labels: DataFrame, max_iters: int) -> Da
             F.min("keeper_id").alias("nk")
         )
         new = chained.join(nbr.withColumnRenamed("a", "id"), "id", "left").select(
-            "id", F.least(F.col("keeper_id"), F.coalesce(F.col("nk"), F.col("keeper_id"))).alias("keeper_id")
-        )
+            "id",
+            F.least(F.col("keeper_id"), F.coalesce(F.col("nk"), F.col("keeper_id"))).alias("keeper_id"),
+            "_prev",
+        ).withColumn("_chg", F.col("keeper_id") != F.col("_prev")).drop("_prev")
         # truncate lineage each round: an iterative plan otherwise nests one
         # level of joins per iteration and long chains (graph diameter)
-        # exhaust execution memory on plan machinery alone
-        new = new.localCheckpoint(eager=True)
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.keeper_id") != F.col("o.keeper_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        # exhaust execution memory on plan machinery alone. LAZY checkpoint:
+        # the full-scan max(_chg) aggregate below is the round's ONE driver
+        # action — it materializes every checkpoint partition (a full scan,
+        # never a limit, which could leave partitions uncomputed behind the
+        # truncated lineage) and answers convergence in the same job.
+        new = new.localCheckpoint(eager=False)
+        changed = new.agg(F.max("_chg")).first()[0]
+        labels = new.drop("_chg")
+        if not changed:
             break
     return labels
 

@@ -280,44 +280,38 @@ def pip_join(
 
     broadcast_max_rows = PIP_BROADCAST_MAX_ROWS
     if broadcast_polygons is None:
-        # ONE probe action (count + hash-sampled cover stats in a single
-        # aggregation): the previous count-then-sample design executed the
-        # polygons lineage twice before the real join even started — on a
-        # UDF-built polygon pipeline the probe cost scaled with the
-        # upstream plan, not with the sample. The ~1/16 deterministic
-        # hash sample bounds the cover-UDF probe cost on big sides; small
-        # sides (few sampled rows) fall back to exact stats over all rows
-        # — bounded by definition of small.
-        sampled = F.pmod(F.xxhash64(F.col("poly_id")), F.lit(16)) == 0
-        bytes_expr = F.size(cover_expr) * (
-            F.size(F.col("coords")) * F.lit(8.0) + F.lit(64.0)
-        )
-        probe = polygons.select(
-            F.count("*").alias("n"),
-            F.count(F.when(sampled, 1)).alias("ns"),
-            # E[cover·bytes], NOT E[cover]·E[bytes]: cover size and coords
-            # length are positively correlated (big polygons have both),
-            # so the product of means can undershoot by an order of
-            # magnitude on a mostly-tiny + few-coastlines mix
-            F.avg(F.when(sampled, F.size(cover_expr))).alias("m"),
-            F.avg(F.when(sampled, bytes_expr)).alias("pb"),
-        ).first()
-        n_polys = probe["n"]
+        # Two-step probe, each step bounded. Step 1: a bare count — no
+        # cover UDF in the plan, so Catalyst prunes every column and a
+        # side too big to broadcast costs one cheap scan and nothing else
+        # (a fused count+sample aggregation ran the cover UDF on ~1/16 of
+        # ALL rows even when the count alone decided the answer — probe
+        # cost scaled linearly with polygon count on exactly the sides
+        # where the answer was already 'shuffle').
+        n_polys = polygons.count()
         if n_polys > broadcast_max_rows:
             broadcast_polygons = False
         elif n_polys == 0:
             broadcast_polygons = True
         else:
-            if probe["ns"] and probe["ns"] >= 32:
-                mean_cover, mean_bytes = probe["m"], probe["pb"]
-            else:
-                # too few sampled rows for a stable mean → the table is
-                # small; exact stats over all of it are bounded
-                full = polygons.select(
-                    F.avg(F.size(cover_expr)).alias("m"),
-                    F.avg(bytes_expr).alias("pb"),
-                ).first()
-                mean_cover, mean_bytes = full["m"], full["pb"]
+            # Step 2 (small sides only): cover/bytes stats over a
+            # deterministic hash sample capped at ~2048 EXPECTED rows —
+            # an absolute bound on cover-UDF evaluations, not a fraction
+            # that grows with the table. n is known here, so the modulus
+            # adapts; sides under 2048 rows are measured exactly.
+            bytes_expr = F.size(cover_expr) * (
+                F.size(F.col("coords")) * F.lit(8.0) + F.lit(64.0)
+            )
+            mod = max(1, n_polys // 2048)
+            sampled = F.pmod(F.xxhash64(F.col("poly_id")), F.lit(mod)) == 0
+            # E[cover·bytes], NOT E[cover]·E[bytes]: cover size and coords
+            # length are positively correlated (big polygons have both),
+            # so the product of means can undershoot by an order of
+            # magnitude on a mostly-tiny + few-coastlines mix
+            probe = polygons.where(sampled).select(
+                F.avg(F.size(cover_expr)).alias("m"),
+                F.avg(bytes_expr).alias("pb"),
+            ).first()
+            mean_cover, mean_bytes = probe["m"], probe["pb"]
             est_rows = n_polys * (mean_cover or 1.0)
             # per exploded row: coords doubles (8 B each) + offsets/key/id
             # overhead (~64 B) — bounds estimated broadcast BYTES, not just

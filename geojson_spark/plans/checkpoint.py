@@ -208,13 +208,18 @@ def resumable_apply(
     bucket_col: str,
     n_buckets: int,
     fail_after: int | None = None,
+    sibling_wait_s: float = 300.0,
 ) -> DataFrame:
     """Run ``fn`` bucket-by-bucket with checkpoint/resume.
 
     ``bucket_col`` is hashed into ``n_buckets`` work units (the north rule's
     'explicit repartitioning by H3 prefix' — pass a cell/cell-prefix column).
     ``fail_after`` kills the job after N buckets (for kill→resume tests).
-    Returns the full output (previously checkpointed ∪ newly computed).
+    Returns the full output (previously checkpointed ∪ newly computed):
+    when a concurrent resume holds claims on some buckets, this process
+    waits up to ``sibling_wait_s`` for those commits (reclaiming any whose
+    owner died) and raises if buckets remain unfinished — it never returns
+    a partial result.
     """
     m = ckpt.read_manifest()
     if m["buckets"]:
@@ -256,15 +261,8 @@ def resumable_apply(
             else {}
         )
         processed = 0
-        for b in todo:
-            if fail_after is not None and processed >= fail_after:
-                raise RuntimeError(f"simulated failure after {processed} buckets")
-            # claim-before-work: two concurrent resumes of one checkpoint
-            # would otherwise both compute the same todo list and race
-            # overwrite-writes into the same bucket directory (one job
-            # deleting the other's files mid-write)
-            if not ckpt.claim_bucket(b, stage=stage, owner=owner):
-                continue
+
+        def _process(b: int) -> None:
             t0 = time.time()
             try:
                 part = bucketed.where(F.col(_BUCKET_COL) == b).drop(_BUCKET_COL)
@@ -297,7 +295,48 @@ def resumable_apply(
             }
             ckpt.write_lineage(stage, b, rec)
             ckpt.commit_bucket(b, rec, meta={"stage": stage, "n_buckets": n_buckets})
-            processed += 1
+
+        # outer loop: after draining our claimable buckets, buckets claimed
+        # by a LIVE sibling resume are still in flight — the 'Returns the
+        # full output' contract means we must wait for their commits (or
+        # reclaim them when the sibling dies), never silently return a
+        # DataFrame missing their rows
+        deadline = time.time() + sibling_wait_s
+        while True:
+            remaining = [
+                b for b in range(n_buckets)
+                if b not in ckpt.completed_buckets(stage)
+            ]
+            if not remaining:
+                break
+            claimed_any = False
+            for b in remaining:
+                if fail_after is not None and processed >= fail_after:
+                    raise RuntimeError(f"simulated failure after {processed} buckets")
+                # claim-before-work: two concurrent resumes of one checkpoint
+                # would otherwise both compute the same todo list and race
+                # overwrite-writes into the same bucket directory (one job
+                # deleting the other's files mid-write)
+                if not ckpt.claim_bucket(b, stage=stage, owner=owner):
+                    continue  # a live sibling owns it — revisit next pass
+                claimed_any = True
+                _process(b)
+                processed += 1
+            if claimed_any:
+                continue  # progress was made; re-check without sleeping
+            if time.time() > deadline:
+                still = [
+                    b for b in range(n_buckets)
+                    if b not in ckpt.completed_buckets(stage)
+                ]
+                if still:
+                    raise TimeoutError(
+                        f"buckets {still} still claimed by concurrent resumes "
+                        f"after {sibling_wait_s:.0f}s — refusing to return a "
+                        "partial result"
+                    )
+                break
+            time.sleep(0.1)
     finally:
         if todo:
             bucketed.unpersist()

@@ -71,6 +71,13 @@ def _session_fold(gap_ns: int):
                 rest = ts
             if below.size:
                 n_sessions += 1 + int((np.diff(below) > gap_ns).sum())
+                # bridge: when the newest below-range straggler lands within
+                # gap_ns of the first retained event, below's last session
+                # and the session rest[0] belongs to (new or merged into the
+                # prior state session) are ONE session — without this the
+                # pair double-counts and n_sessions overshoots by one
+                if rest.size and int(rest[0]) - int(below[-1]) <= gap_ns:
+                    n_sessions -= 1
             if rest.size:
                 prev = np.empty_like(rest)
                 # a missing last_ts means the first event opens a session
