@@ -312,6 +312,44 @@ def _scale_worker_main(p: int, images_path: str, ckpt_dir: str, n_images: int) -
     print(_json.dumps({"wall": wall, "lineage_partitions": n_parts}))
 
 
+def _wait_for_quiet_host(max_wait_s: float, ceiling_pair: tuple[int, int] | None = None) -> dict:
+    """Gate a timing phase on host health: poll the single-core NumPy probe
+    until it lands within ~1.5× of the healthy baseline (~0.17 s on this
+    host) or the wait budget runs out. Four rounds of driver benches all
+    landed in throttle windows and published raw scaling numbers the host
+    itself could not have met — cheaper to wait for weather than to
+    normalize it away after the fact. The gate never blocks the bench
+    forever: on timeout the measurement proceeds and the record says so.
+
+    ``ceiling_pair=(p_lo, p_hi)`` additionally requires the HOST itself to
+    scale p_lo→p_hi at ≥ the gate efficiency (default 0.85) right now —
+    a quiet single core does not imply multi-core headroom on this
+    hypervisor (the r5 first attempt: probe 0.2 s but host ceiling 0.43,
+    so no engine number could have reached 0.8)."""
+    healthy = float(os.environ.get("SPARK_GRAFT_HEALTHY_PROBE_S", "0.17"))
+    factor = float(os.environ.get("SPARK_GRAFT_QUIET_FACTOR", "1.5"))
+    min_ceiling = float(os.environ.get("SPARK_GRAFT_GATE_CEILING", "0.85"))
+    t0 = time.time()
+    waited = 0.0
+    while True:
+        p0 = time.time()
+        _calib_task(0)
+        probe = time.time() - p0
+        ceiling = None
+        if probe <= healthy * factor:
+            if ceiling_pair is None:
+                return {"probe": round(probe, 3), "waited_s": round(waited, 1), "met": True}
+            ceiling = host_ceiling(*ceiling_pair, n_tasks=16)["host_ceiling_efficiency"]
+            if ceiling >= min_ceiling:
+                return {"probe": round(probe, 3), "ceiling": ceiling,
+                        "waited_s": round(waited, 1), "met": True}
+        waited = time.time() - t0
+        if waited >= max_wait_s:
+            return {"probe": round(probe, 3), "ceiling": ceiling,
+                    "waited_s": round(waited, 1), "met": False}
+        time.sleep(min(15.0, max(1.0, max_wait_s - waited)))
+
+
 def run_scaling(n_images: int) -> dict[str, float]:
     """North-rule scaling evidence: the same tiling job at N and 4N cores.
 
@@ -361,12 +399,22 @@ def run_scaling(n_images: int) -> dict[str, float]:
         walls: list[dict[int, float]] = []
         lineages: list[dict[int, int]] = []
         probes: list[dict[str, float]] = []
+        gates: list[dict] = []
         t_scale0 = time.time()
         for rep in range(max_reps):
             # rep 1 always runs; later reps only start within the budget so a
             # slow host can't push the whole bench past a harness timeout
             if rep > 0 and time.time() - t_scale0 > budget_s:
                 break
+            # quiet-host gate: don't START a paired measurement inside a
+            # throttle window — wait (bounded by the remaining budget, and
+            # by half the budget before the mandatory first rep) for the
+            # probe to return to ~healthy. A gate timeout still measures.
+            gate_budget = (
+                budget_s / 2 if rep == 0
+                else max(0.0, budget_s - (time.time() - t_scale0))
+            )
+            gates.append(_wait_for_quiet_host(gate_budget, ceiling_pair=(p_lo, p_hi)))
             order = (p_lo, p_hi) if rep % 2 == 0 else (p_hi, p_lo)
             w: dict[int, float] = {}
             lin: dict[int, int] = {}
@@ -397,6 +445,7 @@ def run_scaling(n_images: int) -> dict[str, float]:
         out["scaling_reps"] = len(walls)
         out["scaling_efficiency_per_rep"] = per_rep
         out["host_ceiling_per_rep"] = ceilings
+        out["quiet_gate_per_rep"] = gates
         out["cpu_pinned"] = True
         # headline ceiling = the probe adjacent to the chosen rep (same
         # weather window); the full per-rep list is reported above

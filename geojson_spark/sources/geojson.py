@@ -373,7 +373,13 @@ def read_geojson(
     return out
 
 
-def read_geojson_stream(spark: SparkSession, path: str, properties_schema=None) -> DataFrame:
+def read_geojson_stream(
+    spark: SparkSession,
+    path: str,
+    properties_schema=None,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """R-family, streaming variant: a Structured Streaming source over
     newline-delimited GeoJSON (one Feature document per line).
 
@@ -386,9 +392,14 @@ def read_geojson_stream(spark: SparkSession, path: str, properties_schema=None) 
     stream and batch parses are identical by construction; downstream
     cell assignment / windowed aggs / stateful ops compose unchanged.
     With ``properties_schema``, properties flatten onto typed columns
-    (streaming-safe: a pure projection).
+    (streaming-safe: a pure projection). ``max_files_per_trigger`` bounds
+    each micro-batch (file-source option) — kill→resume tests use 1 file
+    per batch so batch boundaries are deterministic.
     """
-    lines = spark.readStream.text(path)
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.text(path)
     feats = (
         lines.where(F.length(F.trim(F.col("value"))) > 0)
         .select(parse_feature_udf(F.col("value")).alias("f"))

@@ -1,12 +1,17 @@
-"""Round-5 regression tests for the ADVICE findings.
+"""Round-5 regression tests for the ADVICE findings + VERDICT items.
 
 1. resumable_apply must never return a partial result when a concurrent
    resume holds claims: it waits for live siblings' commits (or raises on
    timeout) and reclaims buckets whose owner died.
 2. stateful session fold: a below-range straggler within gap of the first
    retained event bridges into that session — one session, not two.
-3. property-key JSON paths: '?' and '' are inexpressible in Spark's
-   JsonPathParser and must raise instead of silently returning null.
+3. property-key JSON paths: keys Spark's JsonPathParser can't express
+   must raise instead of silently returning null (with an empirical
+   record of what the engine actually parses).
+4. streaming GeoJSON sink kill→resume: a crash mid-write of batch 1/3
+   leaves a garbage shard; restarting from the checkpoint replays the
+   batch deterministically and the final file tree is byte-identical to
+   an uninterrupted run.
 """
 
 from __future__ import annotations
@@ -203,3 +208,95 @@ def test_spark_json_path_bracket_names_verified_against_engine(spark):
     from geojson_spark.functions.properties import prop
 
     assert df.select(prop(F.col("p"), "a?b").alias("v")).first().v == "1"
+
+
+# ---------------------------------------------------------------------------
+# streaming sink: kill mid-stream, resume from checkpoint, identical output
+# ---------------------------------------------------------------------------
+
+
+def _feature_line(i: int) -> str:
+    return json.dumps({
+        "type": "Feature", "id": i,
+        "geometry": {"type": "Point", "coordinates": [float(i) / 10, 1.5]},
+        "properties": {"name": f"f{i}"},
+    })
+
+
+def _tree_hashes(root: str) -> dict[str, str]:
+    import hashlib
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(p, root)
+            with open(p, "rb") as fh:
+                out[rel] = hashlib.sha256(fh.read()).hexdigest()
+    return out
+
+
+def test_streaming_sink_kill_midstream_resume_identical(spark, tmp_path, monkeypatch):
+    """3 ndjson files → 3 one-file micro-batches. The interrupted run
+    crashes mid-write of batch 1 (garbage shard on disk, batch never
+    committed); the resumed run replays batch 1 by its deterministic id
+    and overwrites. Final tree must hash-equal an uninterrupted run."""
+    from geojson_spark.sources.geojson import read_geojson_stream
+    from geojson_spark.streaming import sinks as sinks_mod
+    from geojson_spark.streaming.sinks import write_geojson_stream
+
+    src = tmp_path / "nd"
+    src.mkdir()
+    for fi, (lo, hi) in enumerate([(0, 10), (10, 25), (25, 30)]):
+        p = src / f"{'abc'[fi]}.ndjson"
+        with open(p, "w") as fh:
+            for i in range(lo, hi):
+                fh.write(_feature_line(i) + "\n")
+        # strictly increasing mtimes pin the file→batch order
+        os.utime(p, (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+    def run(out_dir: str, ckpt: str, name: str):
+        feats = read_geojson_stream(spark, str(src), max_files_per_trigger=1)
+        return write_geojson_stream(
+            feats, out_dir, checkpoint_dir=ckpt, query_name=name
+        )
+
+    # --- uninterrupted reference run
+    clean_out = str(tmp_path / "out_clean")
+    q = run(clean_out, str(tmp_path / "ckpt_clean"), "gj_clean_r5")
+    q.awaitTermination(120)
+    clean = _tree_hashes(clean_out)
+    assert len([k for k in clean if k.endswith(".geojson")]) == 3
+
+    # --- interrupted run: crash mid-write of the SECOND batch
+    real_write = sinks_mod.write_geojson
+    crash_out = str(tmp_path / "out_crash")
+    calls: list[str] = []
+
+    def crashing_write(df, path):
+        calls.append(path)
+        if path.endswith("batch-000001.geojson"):
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, "part-00000.geojson"), "w") as fh:
+                fh.write('{"type": "FeatureCollection", "features": [ GARB')
+            raise RuntimeError("simulated crash mid-write")
+        return real_write(df, path)
+
+    monkeypatch.setattr(sinks_mod, "write_geojson", crashing_write)
+    q = run(crash_out, str(tmp_path / "ckpt_crash"), "gj_crash_r5")
+    with pytest.raises(Exception, match="simulated crash mid-write"):
+        q.awaitTermination(120)
+    assert any(c.endswith("batch-000001.geojson") for c in calls)
+    # garbage shard really on disk, batch 0 committed
+    assert "GARB" in open(
+        os.path.join(crash_out, "batch-000001.geojson", "part-00000.geojson")
+    ).read()
+
+    # --- resume from the same checkpoint, healthy writer
+    monkeypatch.setattr(sinks_mod, "write_geojson", real_write)
+    q = run(crash_out, str(tmp_path / "ckpt_crash"), "gj_resume_r5")
+    q.awaitTermination(120)
+
+    assert _tree_hashes(crash_out) == clean, (
+        "resumed output differs from the uninterrupted run"
+    )
