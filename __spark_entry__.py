@@ -660,23 +660,78 @@ def q_bbox_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pip_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP counts through BOTH index paths in one oracle slot, union-tagged
+    by ``idx`` ('grid' = fixed cover-level ladder, 's2' = multi-level S2
+    cover) — the former separate pip_rects_s2 entry folded in (round-5
+    slot consolidation; frees a slot for stream_cell_counts). One SQL
+    aggregation cross-joined with the two tags checks both plans."""
     from geojson_spark.operators.joins import pip_join
 
-    pts = _lineitem_points(spark, sf_dir)
+    pts = _lineitem_points(spark, sf_dir).select("p_id", "lon", "lat")
     polys = _nation_rects(spark, sf_dir)
-    joined = pip_join(pts.select("p_id", "lon", "lat"), polys, index="grid")
-    return joined.groupBy("poly_id").agg(F.count("*").alias("n_points"))
+
+    def leg(index: str) -> DataFrame:
+        joined = pip_join(pts, polys, index=index)
+        return joined.groupBy("poly_id").agg(F.count("*").alias("n_points")).select(
+            F.lit(index).alias("idx"), "poly_id", "n_points"
+        )
+
+    return leg("grid").unionByName(leg("s2"))
 
 
-def q_pip_rects_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same result as q_pip_rects but through the S2 multi-level cover path
-    — same oracle, proving the two index paths agree."""
-    from geojson_spark.operators.joins import pip_join
+def _cell_counts_from_features(feats: DataFrame) -> DataFrame:
+    """Shared downstream of the STREAMING parse path: parsed feature rows →
+    per-cell point counts. Used identically by the batch oracle query
+    (q_stream_cell_counts) and the readStream pipeline in
+    tests/test_streaming_source.py, so stream == batch == DuckDB is one
+    three-way equality over the same aliased aggregation."""
+    pts = feats.select(
+        F.element_at(F.col("geometry.coords"), 1).alias("lon"),
+        F.element_at(F.col("geometry.coords"), 2).alias("lat"),
+    )
+    return (
+        pts.withColumn("cell_id", grid_cell(F.col("lon"), F.col("lat")))
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_points"))
+    )
 
-    pts = _lineitem_points(spark, sf_dir)
-    polys = _nation_rects(spark, sf_dir)
-    joined = pip_join(pts.select("p_id", "lon", "lat"), polys, index="s2")
-    return joined.groupBy("poly_id").agg(F.count("*").alias("n_points"))
+
+def _customer_feature_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ndjson Feature line per customer (column ``value``), built in
+    SQL with the engine's float-repr cast — the exact line format
+    read_geojson_stream consumes."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lon, lat = derived_lonlat(F.col("c_custkey").cast("bigint"))
+    return cust.select(
+        F.concat(
+            F.lit('{"type":"Feature","geometry":{"type":"Point","coordinates":['),
+            lon.cast("string"),
+            F.lit(","),
+            lat.cast("string"),
+            F.lit(']},"properties":{"k":'),
+            F.col("c_custkey").cast("string"),
+            F.lit("}}"),
+        ).alias("value")
+    )
+
+
+def q_stream_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch semantics of the streaming pipeline (readStream ndjson →
+    parse_feature_udf → cell agg): builds the SAME feature lines the
+    stream test writes to disk, parses them with the SAME single-feature
+    UDF read_geojson_stream uses, and aggregates through the SAME
+    _cell_counts_from_features — so the DuckDB oracle, this batch run,
+    and the streaming run in tests/test_streaming_source.py check one
+    aliased query three ways."""
+    from geojson_spark.sources.geojson import parse_feature_udf
+
+    lines = _customer_feature_lines(spark, sf_dir)
+    feats = (
+        lines.where(F.length(F.trim(F.col("value"))) > 0)
+        .select(parse_feature_udf(F.col("value")).alias("f"))
+        .select("f.*")
+    )
+    return _cell_counts_from_features(feats)
 
 
 def _nation_rects_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2090,7 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_counts": wrap(q_cell_counts),
         "bbox_union": wrap(q_bbox_union),
         "pip_rects": wrap(q_pip_rects),
-        "pip_rects_s2": wrap(q_pip_rects_s2),
+        "stream_cell_counts": wrap(q_stream_cell_counts),
         "pip_holes": wrap(q_pip_holes),
         "knn": wrap(q_knn),
         "tile_counts": wrap(q_tile_counts),
@@ -2174,15 +2229,15 @@ def oracle_sql() -> dict[str, str]:
             FROM {pts} GROUP BY 1
         """,
         "pip_rects": f"""
-            SELECT r.poly_id AS poly_id, count(*) AS n_points
+            SELECT i.idx AS idx, r.poly_id AS poly_id, count(*) AS n_points
             FROM {pts} p JOIN {rects} r
               ON p.lon > r.x0 AND p.lon < r.x1 AND p.lat > r.y0 AND p.lat < r.y1
-            GROUP BY 1
+            CROSS JOIN (SELECT 'grid' AS idx UNION ALL SELECT 's2') i
+            GROUP BY 1, 2
         """,
-        "pip_rects_s2": f"""
-            SELECT r.poly_id AS poly_id, count(*) AS n_points
-            FROM {pts} p JOIN {rects} r
-              ON p.lon > r.x0 AND p.lon < r.x1 AND p.lat > r.y0 AND p.lat < r.y1
+        "stream_cell_counts": f"""
+            SELECT {GRID_SQL} AS cell_id, count(*) AS n_points
+            FROM (SELECT {clon} AS lon, {clat} AS lat FROM customer)
             GROUP BY 1
         """,
         "pip_holes": f"""

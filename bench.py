@@ -32,7 +32,7 @@ HEADLINE = [
     "cell_counts",
     "bbox_union",
     "pip_rects",
-    "pip_rects_s2",
+    "stream_cell_counts",
     "knn",
     "tile_counts",
     "region_rollup",

@@ -273,3 +273,39 @@ def test_write_geojson_removes_stale_shards(spark, tmp_path):
     write_geojson(feats.drop("source_file").coalesce(1), str(out))
     assert len(list(out.glob("part-*.geojson"))) == 1
     assert read_geojson(spark, str(out / "*.geojson")).count() == 20
+
+
+def test_stream_cell_counts_three_way_parity(spark, tmp_path):
+    """stream == batch over the SAME aliased query the driver oracles
+    (VERDICT r4 item #4): q_stream_cell_counts is the batch leg (checked
+    against DuckDB by the driver); here the identical feature lines go to
+    ndjson files, through read_geojson_stream and the shared
+    _cell_counts_from_features, and must aggregate to the same rows —
+    making stream == batch == DuckDB a three-way equality."""
+    import __spark_entry__ as E
+
+    sf_dir = "/root/testdata/sf0.001"
+    lines = [r.value for r in E._customer_feature_lines(spark, sf_dir).collect()]
+    d = tmp_path / "stream_nd"
+    d.mkdir()
+    third = max(1, len(lines) // 3)
+    for fi, chunk in enumerate([lines[:third], lines[third:2 * third], lines[2 * third:]]):
+        with open(d / f"{fi}.ndjson", "w") as fh:
+            fh.write("\n".join(chunk) + "\n")
+
+    feats = read_geojson_stream(spark, str(d), max_files_per_trigger=1)
+    agg = E._cell_counts_from_features(feats)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_cc_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.cell_id, r.n_points) for r in spark.table("stream_cc_t").collect()}
+    want = {
+        (r.cell_id, r.n_points)
+        for r in E.queries()["stream_cell_counts"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 50
