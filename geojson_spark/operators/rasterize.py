@@ -60,7 +60,7 @@ def rasterize_density(
     max_count, checksum) where checksum = Σ (py·res+px+1)·pixel over the
     DECODED bytes — integer-exact and SQL-replayable from the raw points.
     """
-    from geojson_spark.sources.images import average_phash, decode_image, encode_image
+    from geojson_spark.sources.images import decode_image, encode_image
 
     if 180 * cpd >= GRID_K:
         raise ValueError(
@@ -107,58 +107,83 @@ def rasterize_density(
     # one per tile (a world map at cpd=1 is ~15k one-row groups — per-group
     # pandas machinery dominated at ~4 ms/group, 60+ s for a 60k-point
     # table). The scatter into the (T, res, res) stack is one vectorized
-    # fancy-index; only the per-tile encode/decode/phash loop stays scalar
-    # (~0.1 ms of small-array numpy per tile).
+    # fancy-index; encode/decode/phash/stats are all batched along T too
+    # (round-5 — the former per-tile loop cost ~0.1 ms/tile, ~1.5 s for a
+    # world render at cpd=4). Only rle, inherently per-stream, stays a
+    # per-tile call.
     idx1 = np.arange(res * res, dtype=np.int64).reshape(res, res) + 1
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from geojson_spark.sources.images import (
+            average_phash_batch,
+            q8_quantize,
+            rle_encode,
+        )
+
         # a tile's rows can straddle arrow batches within the partition —
         # concatenate first (per-partition counts are ≤ res² rows/tile)
         parts = list(batches)
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        if not len(pdf):
+            return
         tids, t_idx = np.unique(pdf["tile_id"].to_numpy(), return_inverse=True)
-        imgs = np.zeros((len(tids), res, res), dtype=np.int64)
+        T = len(tids)
+        imgs = np.zeros((T, res, res), dtype=np.int64)
         imgs[t_idx, pdf["py"].to_numpy(), pdf["px"].to_numpy()] = (
             pdf["c"].to_numpy()
         )
         n_points = imgs.sum(axis=(1, 2))
         max_count = imgs.max(axis=(1, 2))
+        gray = np.minimum(imgs, 255).astype(np.uint8)  # (T, res, res)
+        # grayscale → RGB triples, whole stack at once
+        rgb = np.repeat(gray.reshape(T, -1), 3, axis=1)  # (T, res²·3)
+        if out_fmt == "raw":
+            bufs = [row.tobytes() for row in rgb]  # memcpy only
+        elif out_fmt == "q8":
+            bufs = [row.tobytes() for row in q8_quantize(rgb)]
+        elif out_fmt == "rle":
+            bufs = [rle_encode(row) for row in rgb]
+        else:  # keep the canonical error for unknown formats
+            bufs = [encode_image(row, out_fmt) for row in rgb]
+        # stats/phash come from what the STORED bytes decode to — the
+        # decode really reads the encoded buffers, so a codec bug breaks
+        # the checksum. raw/q8 decode is a reinterpretation of the bytes
+        # (one batched frombuffer over the concatenation); rle decodes
+        # per tile.
+        if out_fmt == "rle":
+            dec = np.stack(
+                [decode_image(b, out_fmt, res, res) for b in bufs]
+            ).reshape(T, res, res, 3)[:, :, :, 0]
+        else:
+            dec = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(
+                T, res, res, 3
+            )[:, :, :, 0]
         # q8 is lossy (0 quantizes to 2): decoded-byte stats would read
         # nonzero_px = res² everywhere, so for lossy fmts the stats come
         # from the pre-encode pixels; the lossless fmts keep the stronger
-        # decoded-byte contract (a codec bug breaks the checksum)
-        lossless = out_fmt in ("raw", "rle")
-        rows = []
-        for t in range(len(tids)):
-            gray = np.minimum(imgs[t], 255).astype(np.uint8)
-            flat = np.repeat(gray.reshape(-1), 3)  # grayscale → RGB triples
-            buf = encode_image(flat, out_fmt)
-            dec = decode_image(buf, out_fmt, res, res).reshape(res, res, 3)[
-                :, :, 0
-            ]
-            stat = dec if lossless else gray
-            rows.append(
-                {
-                    "tile_id": int(tids[t]),
-                    "bytes": buf,
-                    "w": res,
-                    "h": res,
-                    "fmt": out_fmt,
-                    # phash describes the STORED bytes (decoded), matching
-                    # resize_images / verify_invariants — for q8 hashing
-                    # the pre-quantization pixels would fail phash_ok
-                    "phash": average_phash(
-                        np.repeat(dec.reshape(-1), 3), res, res
-                    ),
-                    "n_points": int(n_points[t]),
-                    "nonzero_px": int((stat > 0).sum()),
-                    "max_count": int(max_count[t]),
-                    "checksum": int((idx1 * stat.astype(np.int64)).sum()),
-                }
-            )
-        yield pd.DataFrame(rows)
+        # decoded-byte contract
+        stat = dec if out_fmt in ("raw", "rle") else gray
+        # phash describes the STORED bytes (decoded), matching
+        # resize_images / verify_invariants — for q8 hashing the
+        # pre-quantization pixels would fail phash_ok
+        phash = average_phash_batch(dec)
+        checksum = (idx1[None, :, :] * stat.astype(np.int64)).sum(axis=(1, 2))
+        yield pd.DataFrame(
+            {
+                "tile_id": tids.astype(np.int64),
+                "bytes": bufs,
+                "w": np.full(T, res, dtype=np.int32),
+                "h": np.full(T, res, dtype=np.int32),
+                "fmt": out_fmt,
+                "phash": phash,
+                "n_points": n_points,
+                "nonzero_px": (stat > 0).sum(axis=(1, 2)).astype(np.int64),
+                "max_count": max_count,
+                "checksum": checksum,
+            }
+        )
 
     spark = points.sparkSession
     n_parts = spark.sparkContext.defaultParallelism

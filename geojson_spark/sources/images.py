@@ -169,6 +169,36 @@ def average_phash(px: np.ndarray, w: int, h: int) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
+def average_phash_batch(gray: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`average_phash` over a (T, h, w) GRAYSCALE stack —
+    bit-identical to ``average_phash(repeat(gray[t], 3), w, h)`` for every
+    t (the per-image path means the 3 identical channels, which is the
+    gray value). One cumsum over the stack instead of T integral images;
+    rasterize's render loop was spending ~0.1 ms/tile here."""
+    T, h, w = gray.shape
+    img = gray.astype(np.float64)
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    S = np.zeros((T, h + 1, w + 1), dtype=np.float64)
+    S[:, 1:, 1:] = img.cumsum(axis=1).cumsum(axis=2)
+    y0, y1 = ys[:-1], np.maximum(ys[:-1] + 1, ys[1:])
+    x0, x1 = xs[:-1], np.maximum(xs[:-1] + 1, xs[1:])
+    yi0, yi1 = y0[:, None], y1[:, None]
+    xi0, xi1 = x0[None, :], x1[None, :]
+    sums = (
+        S[:, yi1, xi1] - S[:, yi0, xi1] - S[:, yi1, xi0] + S[:, yi0, xi0]
+    )
+    counts = ((y1 - y0)[:, None] * (x1 - x0)[None, :])[None, :, :]
+    blocks = sums / counts
+    bits = blocks > blocks.mean(axis=(1, 2), keepdims=True)
+    packed = np.packbits(bits.reshape(T, 64), axis=1)  # (T, 8) big-endian bytes
+    vals = np.zeros(T, dtype=np.uint64)
+    for i in range(8):
+        vals |= packed[:, i].astype(np.uint64) << np.uint64(8 * (7 - i))
+    # two's-complement reinterpretation == the scalar path's `val - 2**64`
+    return vals.view(np.int64)
+
+
 def caption_for(i: int, h: int) -> str:
     words = [_WORDS[(h >> (4 * k)) % len(_WORDS)] for k in range(4)]
     return f"caption {i} " + " ".join(words)

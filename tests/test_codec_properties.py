@@ -256,3 +256,26 @@ def test_streaming_scanner_equals_whole_doc_parse(feats, chunk):
     kind, obj = parse_geojson(doc.decode("utf-8"))
     assert kind == "FeatureCollection"
     assert scanned == obj["features"]
+
+
+@given(
+    st.integers(min_value=1, max_value=7),   # number of tiles
+    st.integers(min_value=8, max_value=40),  # h
+    st.integers(min_value=8, max_value=40),  # w
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_average_phash_batch_bit_identical_to_scalar(t, h, w, seed):
+    """The (T,h,w) batched phash must reproduce the scalar per-image hash
+    bit-for-bit — rasterize's render path switched to the batch kernel and
+    hamming-dedup compatibility depends on exact equality."""
+    import numpy as np
+
+    from geojson_spark.sources.images import average_phash, average_phash_batch
+
+    rng = np.random.default_rng(seed)
+    gray = rng.integers(0, 256, size=(t, h, w), dtype=np.uint8)
+    got = average_phash_batch(gray)
+    for i in range(t):
+        rgb = np.repeat(gray[i].reshape(-1), 3)
+        assert int(got[i]) == average_phash(rgb, w, h)
