@@ -279,3 +279,25 @@ class TestRasterize:
         assert len(h) > 0
         for row in h:
             assert sum(row.hist) == 16 * 16
+
+
+def test_rle_tiles_roundtrip_through_stored_bytes(spark):
+    """rle (the per-tile codec path the round-5 batched render kept
+    scalar): the stored bytes must decode to the exact count raster, and
+    phash/checksum must describe those decoded bytes."""
+    from geojson_spark.operators.rasterize import rasterize_density
+    from geojson_spark.sources.images import average_phash, decode_image
+
+    pts = _pts(spark, [(10.10, 20.10), (10.10, 20.15), (10.80, 20.90),
+                       (10.80, 20.90), (10.80, 20.90)])
+    rows = {r.tile_id: r for r in
+            rasterize_density(pts, cpd=1, res=4, out_fmt="rle").collect()}
+    assert len(rows) == 1
+    r = next(iter(rows.values()))
+    dec = decode_image(r.bytes, "rle", 4, 4)
+    gray = dec.reshape(4, 4, 3)[:, :, 0]
+    assert r.n_points == 5 and r.max_count == 3
+    assert int(gray.sum()) == 5 and int((gray > 0).sum()) == r.nonzero_px == 2
+    assert r.phash == average_phash(dec, 4, 4)
+    idx1 = np.arange(16, dtype=np.int64).reshape(4, 4) + 1
+    assert r.checksum == int((idx1 * gray.astype(np.int64)).sum())

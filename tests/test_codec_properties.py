@@ -260,8 +260,8 @@ def test_streaming_scanner_equals_whole_doc_parse(feats, chunk):
 
 @given(
     st.integers(min_value=1, max_value=7),   # number of tiles
-    st.integers(min_value=8, max_value=40),  # h
-    st.integers(min_value=8, max_value=40),  # w
+    st.integers(min_value=4, max_value=40),  # h (sub-8: duplicate block bounds)
+    st.integers(min_value=4, max_value=40),  # w
     st.integers(min_value=0, max_value=2**31 - 1),
 )
 @settings(max_examples=60, deadline=None)
