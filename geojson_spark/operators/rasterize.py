@@ -203,30 +203,43 @@ def tile_pixels(tiles: DataFrame) -> DataFrame:
     (tile_id, px, py, val): only nonzero pixels are emitted, so a mostly
     empty world raster decodes to ~|points| rows, not |tiles|·res².
 
-    One ``mapInPandas`` pass, vectorized ``np.nonzero`` per tile; no
-    shuffle — the explode happens in place on the scan partitions.
+    One ``mapInPandas`` pass; within each arrow batch, all tiles sharing
+    one (w, h, fmt) shape decode as a single (N, h, w) stack with ONE
+    3-D ``np.nonzero`` (an engine's tile table is homogeneous, so the
+    common case is one stack per batch — the former per-tile loop built
+    ~15k tiny DataFrames for a world raster). No shuffle — the explode
+    happens in place on the scan partitions.
     """
-    from geojson_spark.sources.images import decode_image
+    from geojson_spark.sources.images import rle_decode
 
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for tid, buf, w, h, fmt in zip(
-                pdf["tile_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
-            ):
-                img = decode_image(bytes(buf), fmt, int(w), int(h)).reshape(
-                    int(h), int(w), 3
-                )[:, :, 0]
-                py, px = np.nonzero(img)
+            for (w, h, fmt), grp in pdf.groupby(["w", "h", "fmt"], sort=False):
+                w, h = int(w), int(h)
+                bufs = [bytes(b) for b in grp["bytes"]]
+                n = len(bufs)
+                if fmt in ("raw", "q8"):
+                    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+                elif fmt == "rle":
+                    flat = np.concatenate([rle_decode(b) for b in bufs])
+                else:
+                    raise ValueError(f"unknown fmt {fmt!r}")
+                if flat.size != n * w * h * 3:
+                    raise ValueError(
+                        f"decoded {flat.size} bytes, expected {n * w * h * 3}"
+                    )
+                imgs = flat.reshape(n, h, w, 3)[:, :, :, 0]
+                ti, py, px = np.nonzero(imgs)
                 if len(px):
                     out.append(
                         pd.DataFrame(
                             {
-                                "tile_id": np.full(len(px), tid, dtype=np.int64),
+                                "tile_id": grp["tile_id"].to_numpy()[ti],
                                 "px": px.astype(np.int32),
                                 "py": py.astype(np.int32),
-                                "val": img[py, px].astype(np.int64),
-                                "w": np.full(len(px), int(w), dtype=np.int32),
+                                "val": imgs[ti, py, px].astype(np.int64),
+                                "w": np.full(len(px), w, dtype=np.int32),
                             }
                         )
                     )
