@@ -911,3 +911,43 @@ def test_asof_join_ignores_null_right_time(spark):
         right_cols={"price": "price"},
     ).first()
     assert row.price is None  # no right row at/before t; null-rt row excluded
+
+
+def test_set_similarity_strategies_agree_on_random_corpora(spark):
+    """count and prefix are both EXACT strategies — on any corpus and any
+    threshold they must emit identical (pair, inter, union) rows. Seeded
+    randomized corpora with heavy-tailed word reuse (so both code paths'
+    edge branches — long prefixes, df ties, singleton shingle sets — get
+    exercised), three seeds x two thresholds."""
+    import numpy as np
+
+    from geojson_spark.operators.dedup import set_similarity_join
+
+    for seed, thr in [(1, 300), (2, 700), (3, 500)]:
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        base_texts = []
+        for _ in range(40):
+            n = int(rng.integers(1, 30))
+            # zipf-ish word choice → boilerplate-heavy shingles
+            idx = np.minimum((rng.zipf(1.5, n) - 1), len(vocab) - 1)
+            base_texts.append([vocab[i] for i in idx])
+        docs_rows = []
+        for d in range(120):
+            words = list(base_texts[int(rng.integers(0, len(base_texts)))])
+            # mutate a copy: guarantees genuine near-dups at every threshold
+            for _ in range(int(rng.integers(0, 3))):
+                if words and rng.random() < 0.5:
+                    words.pop(int(rng.integers(0, len(words))))
+                else:
+                    words.insert(
+                        int(rng.integers(0, len(words) + 1)),
+                        vocab[int(rng.integers(0, len(vocab)))],
+                    )
+            docs_rows.append((d, " ".join(words) if words else "w0"))
+        docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+        kw = dict(threshold_milli=thr, k_shingle=3)
+        a = sorted(map(tuple, set_similarity_join(docs, method="count", **kw).collect()))
+        b = sorted(map(tuple, set_similarity_join(docs, method="prefix", **kw).collect()))
+        assert a == b, f"strategies disagree at seed={seed} thr={thr}"
+        assert len(a) > 0  # the fixture really produces pairs
