@@ -300,3 +300,34 @@ def test_streaming_sink_kill_midstream_resume_identical(spark, tmp_path, monkeyp
     assert _tree_hashes(crash_out) == clean, (
         "resumed output differs from the uninterrupted run"
     )
+
+
+# ---------------------------------------------------------------------------
+# bench quiet-host gate
+# ---------------------------------------------------------------------------
+
+
+def test_quiet_host_gate_meets_and_times_out(monkeypatch):
+    """The scaling gate must pass instantly when the probe beats the
+    healthy threshold, and time out (met=False, still returning a probe
+    reading) when it cannot — it may delay a measurement, never block it."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_HEALTHY_PROBE_S", "999")
+    out = bench._wait_for_quiet_host(5.0)
+    assert out["met"] and out["waited_s"] == 0.0 and out["probe"] > 0
+
+    monkeypatch.setenv("SPARK_GRAFT_HEALTHY_PROBE_S", "0.000001")
+    out = bench._wait_for_quiet_host(0.2)
+    assert not out["met"] and out["probe"] > 0
+
+    # ceiling_pair: a generous ceiling requirement passes, an impossible
+    # (>1) one forces the timeout path even with a healthy probe
+    monkeypatch.setenv("SPARK_GRAFT_HEALTHY_PROBE_S", "999")
+    monkeypatch.setenv("SPARK_GRAFT_GATE_CEILING", "0.0")
+    out = bench._wait_for_quiet_host(10.0, ceiling_pair=(1, 2))
+    assert out["met"] and out["ceiling"] is not None
+
+    monkeypatch.setenv("SPARK_GRAFT_GATE_CEILING", "9.9")
+    out = bench._wait_for_quiet_host(0.2, ceiling_pair=(1, 2))
+    assert not out["met"]
