@@ -300,8 +300,11 @@ def resumable_apply(
         # by a LIVE sibling resume are still in flight — the 'Returns the
         # full output' contract means we must wait for their commits (or
         # reclaim them when the sibling dies), never silently return a
-        # DataFrame missing their rows
-        deadline = time.time() + sibling_wait_s
+        # DataFrame missing their rows. The wait budget starts when WAITING
+        # starts (first pass that makes no progress), not at loop entry —
+        # otherwise a resume that spent sibling_wait_s on its own buckets
+        # would time out the moment it finished working.
+        deadline: float | None = None
         while True:
             remaining = [
                 b for b in range(n_buckets)
@@ -323,7 +326,10 @@ def resumable_apply(
                 _process(b)
                 processed += 1
             if claimed_any:
-                continue  # progress was made; re-check without sleeping
+                deadline = None  # progress was made; reset the wait budget
+                continue
+            if deadline is None:
+                deadline = time.time() + sibling_wait_s
             if time.time() > deadline:
                 still = [
                     b for b in range(n_buckets)
